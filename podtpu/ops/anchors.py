@@ -1,0 +1,67 @@
+"""Multi-level anchor generation for FPN detectors.
+
+TPU-native replacement for torchvision's ``AnchorGenerator`` used inside the
+reference's ``fasterrcnn_resnet50_fpn`` (reference
+`miso/object_detection/models.py:8-12`).  Because the rebuild uses a *static*
+padded canvas, anchors are a compile-time constant: generated once per
+(image_size, strides) configuration and baked into the jitted program.
+
+Matches torchvision's semantics: cell anchors are zero-centred boxes of area
+``size**2`` with the requested aspect ratios (rounded the same way), tiled at
+``stride`` offsets from the image origin.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+
+# torchvision FasterRCNN defaults: one size per FPN level P2..P6, 3 ratios.
+DEFAULT_SIZES = (32, 64, 128, 256, 512)
+DEFAULT_RATIOS = (0.5, 1.0, 2.0)
+
+
+def cell_anchors(size: float, aspect_ratios: Sequence[float]) -> np.ndarray:
+    """Zero-centred anchors ``[A, 4]`` (xyxy) for one level."""
+    ratios = np.asarray(aspect_ratios, dtype=np.float32)
+    h_ratios = np.sqrt(ratios)
+    w_ratios = 1.0 / h_ratios
+    # Half-extents are rounded AFTER halving (torchvision AnchorGenerator
+    # convention), so e.g. size 32 @ ratio 0.5 gives (+-23, +-11).
+    hw = np.round(w_ratios * size / 2.0)
+    hh = np.round(h_ratios * size / 2.0)
+    return np.stack([-hw, -hh, hw, hh], axis=-1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def grid_anchors(
+    image_size: Tuple[int, int],
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64),
+    sizes: Tuple[float, ...] = DEFAULT_SIZES,
+    aspect_ratios: Tuple[float, ...] = DEFAULT_RATIOS,
+) -> Tuple[np.ndarray, ...]:
+    """Anchor grids for every FPN level.
+
+    Returns a tuple of ``[Hl*Wl*A, 4]`` float32 arrays, one per level, where
+    ``Hl = ceil(H / stride)`` etc.  Within a level, anchors are ordered
+    location-major, anchor-minor (y, x, A) — the same flattening the RPN head
+    uses for its logits, so the two line up index-for-index.
+    """
+    H, W = image_size
+    out = []
+    for stride, size in zip(strides, sizes):
+        base = cell_anchors(size, aspect_ratios)  # [A, 4]
+        hl = -(-H // stride)
+        wl = -(-W // stride)
+        shift_x = np.arange(wl, dtype=np.float32) * stride
+        shift_y = np.arange(hl, dtype=np.float32) * stride
+        sx, sy = np.meshgrid(shift_x, shift_y)  # [hl, wl]
+        shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)
+        anchors = (shifts + base[None, :, :]).reshape(-1, 4)
+        out.append(anchors.astype(np.float32))
+    return tuple(out)
+
+
+def num_anchors_per_location(aspect_ratios=DEFAULT_RATIOS) -> int:
+    return len(aspect_ratios)

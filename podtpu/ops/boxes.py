@@ -1,0 +1,119 @@
+"""Box geometry primitives (pure jnp, XLA-fused).
+
+TPU-native replacement for torchvision's C++/CUDA ``box_iou``/box-coder ops
+that the reference inherits inside ``fasterrcnn_resnet50_fpn``
+(reference `miso/object_detection/models.py:8-12`; see SURVEY.md §2.2).
+
+Conventions:
+  * boxes are ``[..., 4]`` float arrays in ``(x1, y1, x2, y2)`` corner format;
+  * functions are shape-polymorphic, differentiable, vmappable;
+  * "no box" slots are encoded by a caller-side validity mask, never by
+    dynamic shapes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# torchvision GeneralizedRCNN clips predicted log-size deltas at log(1000/16).
+BBOX_XFORM_CLIP = math.log(1000.0 / 16.0)
+
+
+def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Area of ``[..., 4]`` xyxy boxes."""
+    return (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU between ``[N, 4]`` and ``[M, 4]`` xyxy boxes → ``[N, M]``."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def box_center_size(boxes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                 jnp.ndarray, jnp.ndarray]:
+    """Decompose xyxy boxes into (cx, cy, w, h)."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    cx = boxes[..., 0] + 0.5 * w
+    cy = boxes[..., 1] + 0.5 * h
+    return cx, cy, w, h
+
+
+def encode_boxes(reference: jnp.ndarray, proposals: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """Encode ``reference`` (target gt) boxes relative to ``proposals``
+    (anchors) as (dx, dy, dw, dh) regression targets.
+
+    Matches the Faster R-CNN box coder semantics used throughout
+    torchvision's GeneralizedRCNN (weights (1,1,1,1) in the RPN,
+    (10,10,5,5) in the RoI heads).
+    """
+    wx, wy, ww, wh = weights
+    pcx, pcy, pw, ph = box_center_size(proposals)
+    gcx, gcy, gw, gh = box_center_size(reference)
+    # Guard against degenerate proposals (validity-masked slots).
+    pw = jnp.maximum(pw, 1e-6)
+    ph = jnp.maximum(ph, 1e-6)
+    dx = wx * (gcx - pcx) / pw
+    dy = wy * (gcy - pcy) / ph
+    dw = ww * jnp.log(jnp.maximum(gw, 1e-6) / pw)
+    dh = wh * jnp.log(jnp.maximum(gh, 1e-6) / ph)
+    return jnp.stack([dx, dy, dw, dh], axis=-1)
+
+
+def decode_boxes(codes: jnp.ndarray, anchors: jnp.ndarray,
+                 weights=(1.0, 1.0, 1.0, 1.0),
+                 clip: float = BBOX_XFORM_CLIP) -> jnp.ndarray:
+    """Invert :func:`encode_boxes`: apply (dx, dy, dw, dh) deltas to anchors."""
+    wx, wy, ww, wh = weights
+    acx, acy, aw, ah = box_center_size(anchors)
+    dx = codes[..., 0] / wx
+    dy = codes[..., 1] / wy
+    dw = jnp.minimum(codes[..., 2] / ww, clip)
+    dh = jnp.minimum(codes[..., 3] / wh, clip)
+    cx = dx * aw + acx
+    cy = dy * ah + acy
+    w = jnp.exp(dw) * aw
+    h = jnp.exp(dh) * ah
+    return jnp.stack(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+
+
+def clip_boxes(boxes: jnp.ndarray, image_size) -> jnp.ndarray:
+    """Clip xyxy boxes to ``[0, W] x [0, H]``. ``image_size`` is (H, W)."""
+    h, w = image_size
+    x1 = jnp.clip(boxes[..., 0], 0.0, w)
+    y1 = jnp.clip(boxes[..., 1], 0.0, h)
+    x2 = jnp.clip(boxes[..., 2], 0.0, w)
+    y2 = jnp.clip(boxes[..., 3], 0.0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def small_box_mask(boxes: jnp.ndarray, min_size: float) -> jnp.ndarray:
+    """True for boxes whose width AND height are >= ``min_size``.
+
+    Static-shape stand-in for torchvision's ``remove_small_boxes``: callers
+    AND this into their validity mask instead of filtering.
+    """
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return (w >= min_size) & (h >= min_size)
+
+
+def xywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(x, y, w, h) top-left+size → corners. (The data model's `bounds`.)"""
+    x, y, w, h = (boxes[..., i] for i in range(4))
+    return jnp.stack([x, y, x + w, y + h], axis=-1)
+
+
+def xyxy_to_xywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Corners → (x, y, w, h) top-left+size (COCO result format)."""
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    return jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
