@@ -1,0 +1,155 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its de-facto config across click defaults and hardcoded
+constants (SURVEY.md §5 "Config / flag system": lr 0.005/momentum 0.9/wd 5e-4
+at `miso/object_detection/training.py:98-101`, ALRS factor 0.5/4 drops at
+:109-113, box_detections_per_img=300 at `models.py:9`, CVAT url/creds at
+`cli.py:101` / `cvat_web_api.py:317`, split fraction+seed at
+`training.py:53-55`).  Here every knob is an explicit dataclass field.
+
+TPU-specific additions: a *static* padded canvas (XLA needs static shapes —
+replaces torchvision's dynamic min/max resize), fixed proposal/detection/GT
+capacities with validity masks, and bf16 compute policy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Faster/Mask R-CNN ResNet-50-FPN architecture + postprocess knobs.
+
+    Defaults mirror torchvision's ``fasterrcnn_resnet50_fpn`` as configured by
+    the reference (`miso/object_detection/models.py:8-12`), with static-shape
+    capacities in place of dynamic sizes.
+    """
+
+    num_classes: int = 2  # including background class 0
+    # Static input canvas (H, W).  Replaces torchvision min=800/max=1333
+    # dynamic resize; images are fit-resized (aspect preserved) and padded.
+    image_size: Tuple[int, int] = (1024, 1024)
+    # ImageNet normalization (applied on device in fp32).
+    pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    # Backbone
+    backbone_depth: int = 50
+    trainable_backbone_stages: int = 3  # of 5 (stem + 4 stages), from the top
+    fpn_channels: int = 256
+
+    # Anchors (per FPN level P2..P6)
+    anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+
+    # RPN
+    rpn_pre_nms_topk_train: int = 2000  # per level
+    rpn_pre_nms_topk_test: int = 1000
+    rpn_post_nms_topk_train: int = 2000  # total
+    rpn_post_nms_topk_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_fg_iou: float = 0.7
+    rpn_bg_iou: float = 0.3
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_min_size: float = 1e-3
+
+    # RoI box head
+    roi_pool_size: int = 7
+    roi_sampling_ratio: int = 2
+    roi_canonical_scale: float = 224.0
+    roi_canonical_level: int = 4
+    box_fg_iou: float = 0.5
+    box_bg_iou: float = 0.5
+    box_batch_per_image: int = 512
+    box_positive_fraction: float = 0.25
+    box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+
+    # Detection postprocess (box_detections_per_img=300 per the reference).
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_image: int = 300
+
+    # Mask head (Mask R-CNN variant; reference `models.py:15-25`)
+    with_mask: bool = False
+    mask_pool_size: int = 14
+    mask_resolution: int = 28
+    mask_head_channels: int = 256
+
+    # Static capacities
+    max_gt_boxes: int = 100
+
+    # Compute policy
+    compute_dtype: str = "bfloat16"  # backbone/FPN/head matmul dtype
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation + schedule.  Defaults mirror the reference
+    (`miso/object_detection/training.py:96-113`, `cli.py:35-80`)."""
+
+    batch_size: int = 2
+    optimiser: str = "sgd"  # 'sgd' | 'adam'
+    lr: float = 0.005
+    momentum: float = 0.9
+    weight_decay: float = 0.0005
+    adam_lr: float = 0.001
+    # Epoch-0 linear warmup (reference engine/engine.py:18-25).
+    warmup_iters: int = 1000
+    warmup_start_factor: float = 1.0 / 1000.0
+    # ALRS early stopping (`shared/learning_rate_scheduler.py:51-112`).
+    alrs_factor: float = 0.5
+    alrs_drops: int = 4
+    alrs_epochs: int = 10
+    alrs_startup_factor: int = 2
+    max_epochs: int = 500
+    # Held-out split (`training.py:53-57`: seed 1, 20% test).
+    split_fraction: float = 0.2
+    split_seed: int = 1
+    # NaN handling: reference hard-exits (engine.py:42-45); we do too.
+    nan_is_fatal: bool = True
+    log_every: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline knobs."""
+
+    num_workers: int = 4
+    prefetch: int = 2
+    # Augmentations (reference `miso/object_detection/transforms.py:4-16`):
+    # hflip(0.5) + vflip(0.5) + photometric distort at train time.
+    hflip_prob: float = 0.5
+    vflip_prob: float = 0.5
+    photometric_distort: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class CvatConfig:
+    """CVAT server connection (reference hardcodes url `http://cvat:8080`
+    at `cli.py:101` and `admin`/`admin` at `cvat_web_api.py:317`)."""
+
+    server: str = "http://cvat:8080"
+    username: str = "admin"
+    password: str = "admin"
+    api: str = "v1"  # 'v1' -> api/v1 prefix, 'v2' -> api (cvat_web_api.py:188-193)
+    is_wsl2: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    cvat: CvatConfig = dataclasses.field(default_factory=CvatConfig)
+
+
+def replace(cfg, **kw):
+    """Convenience: dataclasses.replace that works on nested configs."""
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,188 @@
+"""Faster R-CNN / Mask R-CNN assembly (Flax linen).
+
+TPU-native equivalent of torchvision's ``GeneralizedRCNN`` as used by the
+reference (`miso/object_detection/models.py:7-25`): ResNet-50 backbone → FPN →
+RPN → RoIAlign → box head (+ optional mask head).  The loss dictionary uses
+the same keys torchvision produces (summed by the reference's epoch engine,
+`miso/object_detection/engine/engine.py:33-34`).
+
+TPU-first: one static canvas, fixed proposal/sample/detection capacities with
+validity masks, bf16 backbone compute, anchors baked as compile-time
+constants, batch handled by vmap — a single jit-compiled XLA program for the
+whole forward (+loss) pass.
+
+Input convention: ``images`` are ``[B, H, W, 3]`` float32 in [0, 1] (NHWC, the
+TPU-native layout); normalization happens on-device here.  Ground truth is a
+dict of fixed-capacity arrays: ``boxes [B, G, 4]`` (xyxy, canvas coords),
+``labels [B, G]`` (int32, 1-based), ``valid [B, G]`` (bool), and optionally
+``masks [B, G, Hm, Wm]`` (float bitmaps at ``mask_stride``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from podtpu.core.config import ModelConfig
+from podtpu.models.fpn import FPN
+from podtpu.models.resnet import ResNet
+from podtpu.models import roi_heads as rh
+from podtpu.models import rpn as rpn_lib
+from podtpu.ops.anchors import grid_anchors
+from podtpu.ops.roi_align import flatten_levels
+
+
+class FasterRCNN(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.backbone = ResNet(
+            stage_sizes=(3, 4, 6, 3), dtype=dtype,
+            trainable_stages=cfg.trainable_backbone_stages, name="backbone")
+        self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype, name="fpn")
+        self.rpn_head = rpn_lib.RPNHead(
+            num_anchors=len(cfg.anchor_ratios), channels=cfg.fpn_channels,
+            dtype=dtype, name="rpn_head")
+        self.box_head = rh.BoxHead(num_classes=cfg.num_classes, dtype=dtype,
+                                   name="box_head")
+        if cfg.with_mask:
+            self.mask_head = rh.MaskHead(
+                num_classes=cfg.num_classes, channels=cfg.mask_head_channels,
+                dtype=dtype, name="mask_head")
+
+    def _anchors(self):
+        cfg = self.cfg
+        grids = grid_anchors(tuple(cfg.image_size), tuple(cfg.strides),
+                             tuple(cfg.anchor_sizes), tuple(cfg.anchor_ratios))
+        return [jnp.asarray(g) for g in grids]
+
+    def _features(self, images):
+        cfg = self.cfg
+        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(cfg.pixel_std, jnp.float32)
+        x = (images - mean) / std
+        c2345 = self.backbone(x)
+        pyramid = self.fpn(c2345)  # P2..P6
+        return pyramid
+
+    def __call__(self, images, gt=None, train: bool = False,
+                 rng: Optional[jax.Array] = None):
+        cfg = self.cfg
+        pyramid = self._features(images)
+        level_logits, level_deltas = self.rpn_head(pyramid)
+        level_anchors = self._anchors()
+
+        proposals = rpn_lib.select_proposals(
+            level_logits, level_deltas, level_anchors, cfg, train=train)
+
+        # Box-head levels (P2..P5) flattened once for RoIAlign.
+        flat, geom = flatten_levels(pyramid[:4])
+        b = images.shape[0]
+
+        if train:
+            assert gt is not None and rng is not None
+            rng_rpn, rng_roi = jax.random.split(rng)
+            obj_loss, rpn_box_loss = rpn_lib.rpn_losses(
+                rng_rpn, level_logits, level_deltas,
+                jnp.concatenate(level_anchors, axis=0),
+                gt["boxes"], gt["valid"], cfg)
+
+            roi_rngs = jax.random.split(rng_roi, b)
+            sampled = jax.vmap(
+                lambda r, pb, pv, gb, gl, gv: rh.sample_rois(
+                    r, pb, pv, gb, gl, gv, cfg)
+            )(roi_rngs, proposals.boxes, proposals.valid,
+              gt["boxes"], gt["labels"], gt["valid"])
+
+            pooled = jax.vmap(lambda f, r: rh.pool_rois(f, geom, r, cfg))(
+                flat, sampled.boxes)  # [B, S, 7, 7, C]
+            s = pooled.shape[1]
+            logits, deltas = self.box_head(
+                pooled.reshape(b * s, *pooled.shape[2:]))
+            flat_rois = jax.tree.map(
+                lambda x: x.reshape((b * s,) + x.shape[2:]), sampled)
+            cls_loss, box_loss = rh.box_head_losses(logits, deltas, flat_rois)
+
+            losses = {
+                "loss_objectness": obj_loss,
+                "loss_rpn_box_reg": rpn_box_loss,
+                "loss_classifier": cls_loss,
+                "loss_box_reg": box_loss,
+            }
+            if cfg.with_mask and "masks" in (gt or {}):
+                losses["loss_mask"] = self._mask_losses(flat, geom, sampled, gt)
+            return losses
+
+        # ---- inference ----------------------------------------------------
+        pooled = jax.vmap(lambda f, r: rh.pool_rois(f, geom, r, cfg))(
+            flat, proposals.boxes)
+        p = pooled.shape[1]
+        logits, deltas = self.box_head(pooled.reshape(b * p, *pooled.shape[2:]))
+        logits = logits.reshape(b, p, -1)
+        deltas = deltas.reshape(b, p, -1)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+            lambda lg, dl, pb, pv: rh.postprocess_detections(
+                lg, dl, pb, pv, cfg)
+        )(logits, deltas, proposals.boxes, proposals.valid)
+        out = rh.Detections(boxes=det_boxes, scores=det_scores,
+                            labels=det_labels, valid=det_valid)
+        if cfg.with_mask:
+            masks = self._predict_masks(flat, geom, out)
+            return out, masks
+        return out
+
+    def _mask_losses(self, flat, geom, sampled, gt):
+        cfg = self.cfg
+        b, s = sampled.boxes.shape[:2]
+        pooled = jax.vmap(
+            lambda f, r: rh.pool_rois(f, geom, r, cfg,
+                                      pool_size=cfg.mask_pool_size)
+        )(flat, sampled.boxes)
+        mask_logits = self.mask_head(pooled.reshape(b * s, *pooled.shape[2:]))
+        mask_logits = mask_logits.reshape(b, s, *mask_logits.shape[1:])
+
+        gm = gt["masks"]  # [B, G, Hm, Wm]
+        hm, wm = gm.shape[2], gm.shape[3]
+        mask_stride = cfg.image_size[0] // hm
+        mask_geom = {"offset": jnp.asarray([0], jnp.int32),
+                     "height": jnp.asarray([hm], jnp.int32),
+                     "width": jnp.asarray([wm], jnp.int32)}
+
+        def per_image(ml, rois, gmasks):
+            gt_flat = gmasks.reshape(gmasks.shape[0], -1).T  # [HW, G]
+            return rh.mask_loss(ml, rois, gt_flat, mask_geom, mask_stride, cfg)
+
+        losses = jax.vmap(per_image)(mask_logits, sampled, gm)
+        return losses.mean()
+
+    def _predict_masks(self, flat, geom, det: rh.Detections):
+        cfg = self.cfg
+        b = det.boxes.shape[0]
+        pooled = jax.vmap(
+            lambda f, r: rh.pool_rois(f, geom, r, cfg,
+                                      pool_size=cfg.mask_pool_size)
+        )(flat, det.boxes)
+        d = pooled.shape[1]
+        ml = self.mask_head(pooled.reshape(b * d, *pooled.shape[2:]))
+        ml = ml.reshape(b, d, *ml.shape[1:])  # [B, D, M, M, C]
+        picked = jnp.take_along_axis(
+            ml, det.labels[:, :, None, None, None], axis=-1)[..., 0]
+        return jax.nn.sigmoid(picked)  # [B, D, M, M]
+
+
+def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
+                with_mask: bool = False) -> Tuple[FasterRCNN, ModelConfig]:
+    """Model factory mirroring the reference's
+    ``get_object_detection_model(num_classes)`` /
+    ``get_instance_segmentation_model`` (`miso/object_detection/models.py:7-25`):
+    ``num_classes`` INCLUDES background (reference passes len(labels)+1)."""
+    import dataclasses
+    cfg = cfg or ModelConfig()
+    cfg = dataclasses.replace(cfg, num_classes=num_classes,
+                              with_mask=with_mask or cfg.with_mask)
+    return FasterRCNN(cfg=cfg), cfg

@@ -1,0 +1,54 @@
+"""Feature Pyramid Network (Flax linen).
+
+TPU-native equivalent of the FPN inside torchvision's
+``fasterrcnn_resnet50_fpn`` (`miso/object_detection/models.py:8`): lateral
+1x1 convs on C2..C5, top-down nearest-neighbour upsampling, 3x3 smoothing
+convs, plus a stride-2 max-pool P6 level for the RPN (torchvision's
+``LastLevelMaxPool``).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample in NHWC (broadcast, no gather)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding=[(k // 2, k // 2)] * 2, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+
+        laterals = [
+            conv(self.out_channels, 1, f"lateral{i + 2}")(c)
+            for i, c in enumerate(inputs)
+        ]
+        # Top-down pathway: upsample coarse and add.
+        tops = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            up = upsample_nearest_2x(tops[-1])
+            # Defensive crop if odd sizes ever appear (canvas /64 avoids it).
+            up = up[:, : lat.shape[1], : lat.shape[2], :]
+            tops.append(lat + up)
+        tops = tops[::-1]  # fine -> coarse
+
+        outs = [
+            conv(self.out_channels, 3, f"post{i + 2}")(t)
+            for i, t in enumerate(tops)
+        ]
+        # P6 for the RPN: stride-2 max pool of P5.
+        p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
+        return tuple(outs) + (p6,)

@@ -1,0 +1,239 @@
+"""RoI box/mask heads (Flax linen), static-shape TPU design.
+
+TPU-native equivalent of torchvision's ``RoIHeads`` + ``FastRCNNPredictor``
+(+ ``MaskRCNNPredictor``) inside the reference's model
+(`miso/object_detection/models.py:8-25`).  Semantics mirror torchvision:
+
+* training: gt boxes appended to proposals, matcher (0.5/0.5, no low-quality),
+  512-proposal 25%-positive sample; CE classification loss + smooth-L1
+  (beta=1/9) class-specific box loss normalised by total sampled count;
+* inference: softmax scores, per-class box decode with weights (10,10,5,5),
+  score threshold 0.05, per-class NMS 0.5, top ``detections_per_image``
+  (=300 per reference `models.py:9`).
+
+TPU-first: RoIAlign is the single-pass flattened-FPN kernel from
+podtpu.ops.roi_align; sampling compacts into a fixed 512-slot gather; the
+per-class NMS is a vmap over classes of the fixpoint NMS.  All shapes static.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from podtpu.core.config import ModelConfig
+from podtpu.models.rpn import smooth_l1
+from podtpu.ops import boxes as box_ops
+from podtpu.ops import matching
+from podtpu.ops.nms import NEG_INF, nms_keep
+from podtpu.ops.roi_align import multilevel_roi_align
+
+
+class BoxHead(nn.Module):
+    """Two-MLP head + class/box predictors (torchvision TwoMLPHead +
+    FastRCNNPredictor equivalent)."""
+
+    num_classes: int
+    hidden: int = 1024
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.hidden, name="fc6", **kw)(x))
+        x = nn.relu(nn.Dense(self.hidden, name="fc7", **kw)(x))
+        logits = nn.Dense(self.num_classes, name="cls", **kw)(x)
+        deltas = nn.Dense(self.num_classes * 4, name="reg", **kw)(x)
+        return logits.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+class MaskHead(nn.Module):
+    """4x conv + deconv + per-class mask logits (MaskRCNNHeads +
+    MaskRCNNPredictor equivalent; reference `models.py:15-25`)."""
+
+    num_classes: int
+    channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        x = pooled.astype(self.dtype)
+        for i in range(4):
+            x = nn.relu(nn.Conv(self.channels, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                name=f"conv{i + 1}", **kw)(x))
+        x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
+                                     name="deconv", **kw)(x))
+        x = nn.Conv(self.num_classes, (1, 1), name="logits", **kw)(x)
+        return x.astype(jnp.float32)  # [K, 2*pool, 2*pool, C]
+
+
+class SampledRois(NamedTuple):
+    boxes: jnp.ndarray        # [S, 4]
+    valid: jnp.ndarray        # [S]
+    is_pos: jnp.ndarray       # [S]
+    cls_targets: jnp.ndarray  # [S] int32, 0 = background
+    reg_targets: jnp.ndarray  # [S, 4]
+    gt_index: jnp.ndarray     # [S] matched gt index (for mask targets)
+
+
+def sample_rois(
+    rng: jax.Array,
+    proposals: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    cfg: ModelConfig,
+) -> SampledRois:
+    """Training-time RoI subsample for ONE image (vmap over batch)."""
+    # Append gt to proposals (torchvision does this so every gt has at least
+    # one perfectly-overlapping positive).
+    boxes = jnp.concatenate([proposals, gt_boxes], axis=0)
+    valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+
+    iou = box_ops.box_iou(boxes, gt_boxes)
+    m = matching.match(iou, gt_valid, cfg.box_fg_iou, cfg.box_bg_iou,
+                       allow_low_quality=False)
+    labels = jnp.where(valid, m.labels, -1)  # exclude padded candidates
+    samp = matching.balanced_sample_gather(
+        rng, labels, valid, cfg.box_batch_per_image, cfg.box_positive_fraction)
+
+    sboxes = boxes[samp.idx]
+    matched = m.matched_idx[samp.idx]
+    cls_t = jnp.where(samp.is_pos, gt_labels[matched], 0)
+    cls_t = jnp.where(samp.valid, cls_t, 0).astype(jnp.int32)
+    reg_t = box_ops.encode_boxes(gt_boxes[matched], sboxes,
+                                 weights=cfg.box_reg_weights)
+    return SampledRois(boxes=jnp.where(samp.valid[:, None], sboxes, 0.0),
+                       valid=samp.valid, is_pos=samp.is_pos,
+                       cls_targets=cls_t, reg_targets=reg_t,
+                       gt_index=matched)
+
+
+def box_head_losses(
+    logits: jnp.ndarray,
+    deltas: jnp.ndarray,
+    rois: SampledRois,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Classification + regression loss for one batch of sampled RoIs.
+
+    ``logits``/``deltas`` are stacked over the whole batch ``[B*S, ...]`` and
+    ``rois`` fields likewise; normalisation follows torchvision's
+    ``fastrcnn_loss`` (mean CE over samples; box sum over positives / total).
+    """
+    n, c = logits.shape
+    w = rois.valid.astype(jnp.float32)
+    total = jnp.maximum(w.sum(), 1.0)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, rois.cls_targets[:, None], axis=1)[:, 0]
+    cls_loss = jnp.sum(ce * w) / total
+
+    class_deltas = deltas.reshape(n, c, 4)
+    picked = jnp.take_along_axis(
+        class_deltas, rois.cls_targets[:, None, None].astype(jnp.int32)
+        .repeat(4, -1), axis=1)[:, 0]
+    pw = (rois.is_pos & rois.valid).astype(jnp.float32)
+    l1 = smooth_l1(picked - rois.reg_targets, beta=1.0 / 9.0).sum(-1)
+    box_loss = jnp.sum(l1 * pw) / total
+    return cls_loss, box_loss
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray   # [B, D, 4] xyxy, image coords
+    scores: jnp.ndarray  # [B, D]
+    labels: jnp.ndarray  # [B, D] int32, 1-based class ids (0 = invalid slot)
+    valid: jnp.ndarray   # [B, D]
+
+
+def postprocess_detections(
+    logits: jnp.ndarray,      # [P, C]
+    deltas: jnp.ndarray,      # [P, C*4]
+    proposals: jnp.ndarray,   # [P, 4]
+    prop_valid: jnp.ndarray,  # [P]
+    cfg: ModelConfig,
+):
+    """Per-image final detection filtering (vmap over batch)."""
+    p, c = logits.shape
+    scores = jax.nn.softmax(logits, axis=-1)
+    boxes_pc = box_ops.decode_boxes(
+        deltas.reshape(p, c, 4), proposals[:, None, :],
+        weights=cfg.box_reg_weights)
+    boxes_pc = box_ops.clip_boxes(boxes_pc, cfg.image_size)
+
+    # Drop background column; [C-1, P] class-major layout for vmapped NMS.
+    cls_scores = scores[:, 1:].T
+    cls_boxes = jnp.swapaxes(boxes_pc[:, 1:, :], 0, 1)
+    ok = (cls_scores > cfg.score_thresh) & prop_valid[None, :]
+    ok &= jax.vmap(lambda b: box_ops.small_box_mask(b, 1e-2))(cls_boxes)
+
+    keep = jax.vmap(
+        lambda b, s, v: nms_keep(b, s, cfg.nms_thresh, valid=v)
+    )(cls_boxes, cls_scores, ok)
+
+    flat_scores = jnp.where((keep & ok).reshape(-1),
+                            cls_scores.reshape(-1), NEG_INF)
+    d = cfg.detections_per_image
+    top_scores, idx = jax.lax.top_k(flat_scores, d)
+    valid = top_scores > NEG_INF / 2
+    out_boxes = cls_boxes.reshape(-1, 4)[idx]
+    out_labels = (idx // p + 1).astype(jnp.int32)
+    return (jnp.where(valid[:, None], out_boxes, 0.0),
+            jnp.where(valid, top_scores, 0.0),
+            jnp.where(valid, out_labels, 0),
+            valid)
+
+
+def pool_rois(
+    flat_feats: jnp.ndarray,
+    geom: dict,
+    rois: jnp.ndarray,
+    cfg: ModelConfig,
+    pool_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Multi-level RoIAlign over the box-head levels (P2..P5)."""
+    return multilevel_roi_align(
+        flat_feats, geom, rois,
+        strides=cfg.strides[:4],
+        output_size=pool_size or cfg.roi_pool_size,
+        sampling_ratio=cfg.roi_sampling_ratio,
+        canonical_scale=cfg.roi_canonical_scale,
+        canonical_level=cfg.roi_canonical_level,
+    )
+
+
+def mask_loss(
+    mask_logits: jnp.ndarray,   # [S, M, M, C]
+    rois: SampledRois,
+    gt_masks_flat: jnp.ndarray,  # [HW_mask, G] flattened per-gt bitmaps
+    mask_geom: dict,
+    mask_stride: int,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """BCE mask loss on positive RoIs (torchvision ``maskrcnn_loss``
+    semantics: gt bitmap cropped to the RoI and resampled to the mask
+    resolution)."""
+    m = cfg.mask_resolution
+    # Crop each positive RoI's matched gt bitmap to [m, m] via roi_align on
+    # the (single-channel) mask plane (memory-bounded: one plane per RoI).
+    def crop(roi, gt_idx):
+        plane = gt_masks_flat[:, gt_idx][:, None]  # [HW_mask, 1]
+        return multilevel_roi_align(
+            plane, mask_geom, roi[None], strides=(mask_stride,),
+            output_size=m, sampling_ratio=2)[0, :, :, 0]
+
+    targets = jax.vmap(crop)(rois.boxes, rois.gt_index)  # [S, m, m]
+    # Mask head emits num_classes channels (channel 0 = background, unused),
+    # matching torchvision's MaskRCNNPredictor; pick each RoI's gt class.
+    picked = jnp.take_along_axis(
+        mask_logits, rois.cls_targets[:, None, None, None], axis=-1)[..., 0]
+    bce = (jnp.maximum(picked, 0) - picked * (targets > 0.5)
+           + jnp.log1p(jnp.exp(-jnp.abs(picked))))
+    pw = (rois.is_pos & rois.valid).astype(jnp.float32)
+    denom = jnp.maximum(pw.sum() * m * m, 1.0)
+    return jnp.sum(bce * pw[:, None, None]) / denom

@@ -1,0 +1,167 @@
+"""Region Proposal Network (Flax linen), static-shape TPU design.
+
+TPU-native equivalent of the RPN inside torchvision's
+``fasterrcnn_resnet50_fpn`` (reference `miso/object_detection/models.py:8`;
+call stack SURVEY.md §3.1: "RPN(anchors, objectness, proposal NMS)").
+
+Semantics mirror torchvision: shared 3x3 conv head over all FPN levels,
+per-level pre-NMS top-k, per-level NMS at 0.7, global post-NMS top-k;
+training targets via IoU matcher (0.7/0.3, low-quality matches allowed) and a
+256-anchor 50%-positive balanced sample; BCE objectness + smooth-L1 (beta=1/9)
+box loss normalized by the total sampled count.
+
+TPU-first: every stage is fixed-shape (top-k + validity masks), NMS is the
+fixpoint-iteration kernel from podtpu.ops.nms vmapped over levels, and the
+whole thing vmaps over the batch.
+"""
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from podtpu.core.config import ModelConfig
+from podtpu.ops import boxes as box_ops
+from podtpu.ops import matching
+from podtpu.ops.nms import NEG_INF, nms_keep
+
+
+class RPNHead(nn.Module):
+    """Shared conv head: objectness + box deltas for every FPN level."""
+
+    num_anchors: int
+    channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        self.conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                            name="conv", **kw)
+        self.objectness = nn.Conv(self.num_anchors, (1, 1), name="objectness",
+                                  **kw)
+        self.deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas", **kw)
+
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        """Returns per-level flattened (logits [B, Hl*Wl*A], deltas
+        [B, Hl*Wl*A, 4]) in anchor-grid order (y, x, A)."""
+        logits, deltas = [], []
+        for f in features:
+            h = nn.relu(self.conv(f))
+            b = h.shape[0]
+            obj = self.objectness(h).astype(jnp.float32)
+            dlt = self.deltas(h).astype(jnp.float32)
+            logits.append(obj.reshape(b, -1))
+            deltas.append(dlt.reshape(b, -1, 4))
+        return logits, deltas
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray   # [B, P, 4]
+    scores: jnp.ndarray  # [B, P] objectness logits
+    valid: jnp.ndarray   # [B, P]
+
+
+def select_proposals(
+    level_logits: List[jnp.ndarray],
+    level_deltas: List[jnp.ndarray],
+    level_anchors: Sequence[jnp.ndarray],
+    cfg: ModelConfig,
+    train: bool,
+) -> Proposals:
+    """Decode + filter RPN outputs into a fixed number of proposals."""
+    pre_k = cfg.rpn_pre_nms_topk_train if train else cfg.rpn_pre_nms_topk_test
+    post_k = cfg.rpn_post_nms_topk_train if train else cfg.rpn_post_nms_topk_test
+    h, w = cfg.image_size
+
+    def per_image(logits_l, deltas_l):
+        # --- per level: top-k, decode, clip, size filter ------------------
+        cand_boxes, cand_scores, cand_valid = [], [], []
+        for logits, deltas, anchors in zip(logits_l, deltas_l, level_anchors):
+            kl = min(pre_k, logits.shape[0])
+            top_scores, idx = jax.lax.top_k(logits, kl)
+            boxes = box_ops.decode_boxes(deltas[idx], anchors[idx])
+            boxes = box_ops.clip_boxes(boxes, (h, w))
+            ok = box_ops.small_box_mask(boxes, cfg.rpn_min_size)
+            cand_boxes.append(boxes)
+            cand_scores.append(top_scores)
+            cand_valid.append(ok)
+        # Pad levels with fewer anchors than pre_k (e.g. P6) to a common K
+        # so levels stack for one vmapped NMS.
+        kmax = max(b.shape[0] for b in cand_boxes)
+        cand_boxes = [jnp.pad(b, ((0, kmax - b.shape[0]), (0, 0)))
+                      for b in cand_boxes]
+        cand_scores = [jnp.pad(s, (0, kmax - s.shape[0]),
+                               constant_values=NEG_INF) for s in cand_scores]
+        cand_valid = [jnp.pad(v, (0, kmax - v.shape[0])) for v in cand_valid]
+        boxes = jnp.stack(cand_boxes)     # [L, K, 4]
+        scores = jnp.stack(cand_scores)   # [L, K]
+        valid = jnp.stack(cand_valid) & (scores > NEG_INF / 2)
+
+        # --- per-level NMS (vmapped), then global top-k -------------------
+        keep = jax.vmap(
+            lambda b, s, v: nms_keep(b, s, cfg.rpn_nms_thresh, valid=v)
+        )(boxes, scores, valid)
+        flat_scores = jnp.where((keep & valid).reshape(-1),
+                                scores.reshape(-1), NEG_INF)
+        top_scores, idx = jax.lax.top_k(flat_scores, post_k)
+        out_valid = top_scores > NEG_INF / 2
+        out_boxes = boxes.reshape(-1, 4)[idx]
+        return (jnp.where(out_valid[:, None], out_boxes, 0.0),
+                jnp.where(out_valid, top_scores, 0.0),
+                out_valid)
+
+    b, s, v = jax.vmap(per_image)(list(level_logits), list(level_deltas))
+    return Proposals(boxes=b, scores=s, valid=v)
+
+
+def rpn_losses(
+    rng: jax.Array,
+    level_logits: List[jnp.ndarray],
+    level_deltas: List[jnp.ndarray],
+    all_anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RPN objectness + box losses, batch-normalised like torchvision
+    (sum over sampled anchors across the batch / total sampled)."""
+    logits = jnp.concatenate(level_logits, axis=1)   # [B, N]
+    deltas = jnp.concatenate(level_deltas, axis=1)   # [B, N, 4]
+    batch = logits.shape[0]
+
+    def per_image(rng_i, gt_b, gt_v):
+        iou = box_ops.box_iou(all_anchors, gt_b)  # [N, G]
+        m = matching.match(iou, gt_v, cfg.rpn_fg_iou, cfg.rpn_bg_iou,
+                           allow_low_quality=True)
+        samp = matching.balanced_sample(
+            rng_i, m.labels, jnp.ones(all_anchors.shape[0], bool),
+            cfg.rpn_batch_per_image, cfg.rpn_positive_fraction)
+        targets = box_ops.encode_boxes(gt_b[m.matched_idx], all_anchors)
+        fg = (m.labels == 1).astype(jnp.float32)
+        return samp.weights, samp.pos_weights, fg, targets
+
+    rngs = jax.random.split(rng, batch)
+    weights, pos_weights, fg_labels, box_targets = jax.vmap(per_image)(
+        rngs, gt_boxes, gt_valid)
+
+    total = jnp.maximum(jnp.sum(weights), 1.0)
+    # Objectness: BCE-with-logits over sampled anchors.
+    obj = optax_sigmoid_bce(logits, fg_labels)
+    obj_loss = jnp.sum(obj * weights) / total
+    # Box: smooth-L1 (beta=1/9) over positive samples.
+    l1 = smooth_l1(deltas - box_targets, beta=1.0 / 9.0).sum(-1)
+    box_loss = jnp.sum(l1 * pos_weights) / total
+    return obj_loss, box_loss
+
+
+def smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * x * x / beta, ax - 0.5 * beta)
+
+
+def optax_sigmoid_bce(logits, labels):
+    # log(1 + exp(-|x|)) formulation for stability.
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))

@@ -1,0 +1,163 @@
+"""Target assignment: IoU matcher + balanced positive/negative sampler.
+
+TPU-native (static-shape) equivalents of the proposal/anchor matching and
+subsampling heuristics inside torchvision's GeneralizedRCNN — the part
+SURVEY.md §7 calls out as "hard part (3): loss parity with torchvision's
+sampling heuristics".  Semantics mirror torchvision's ``Matcher`` and
+``BalancedPositiveNegativeSampler``:
+
+* ``match``: per-candidate argmax-IoU ground-truth assignment with
+  fg/bg/ignore thresholds and the optional "allow low quality matches" rule
+  (every gt keeps its best-overlapping anchors as foreground).
+* ``balanced_sample``: pick ``batch`` candidates, at most
+  ``positive_fraction`` of them positive, uniformly at random — realised as
+  randomized top-k with rank masks, so the sampled count is data-dependent
+  but every shape is static.
+
+All outcomes are index/weight arrays over the full candidate set (never
+dynamically-sized lists).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BELOW_LOW = -1  # background
+BETWEEN = -2    # ignored
+
+
+class MatchResult(NamedTuple):
+    # For each candidate: index of best gt (always valid as an index).
+    matched_idx: jnp.ndarray  # [N] int32
+    # +1 foreground / 0 background / -1 ignore, already masked by gt validity.
+    labels: jnp.ndarray  # [N] int32
+
+
+def match(
+    iou: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    high_thresh: float,
+    low_thresh: float,
+    allow_low_quality: bool = False,
+) -> MatchResult:
+    """Assign each of N candidates to one of M gts by IoU.
+
+    Args:
+      iou: ``[N, M]`` candidate-vs-gt IoU.
+      gt_valid: ``[M]`` bool mask of real (non-padded) gt boxes.
+    """
+    neg = jnp.full_like(iou, -1.0)
+    iou = jnp.where(gt_valid[None, :], iou, neg)
+    matched_val = jnp.max(iou, axis=1)
+    matched_idx = jnp.argmax(iou, axis=1).astype(jnp.int32)
+
+    # fg / ignore / bg bands.
+    labels = jnp.where(matched_val >= high_thresh, 1,
+                       jnp.where(matched_val >= low_thresh, -1, 0))
+
+    if allow_low_quality:
+        # For each gt, candidates tying its best IoU become foreground.
+        best_per_gt = jnp.max(iou, axis=0)  # [M]
+        is_best = (iou == best_per_gt[None, :]) & (best_per_gt[None, :] > 0) \
+            & gt_valid[None, :]
+        lq = jnp.any(is_best, axis=1)
+        labels = jnp.where(lq, 1, labels)
+        # Follow torchvision: low-quality candidates keep their argmax gt,
+        # which matched_idx already is.
+
+    # Candidates whose best gt is invalid (no gt at all) are background.
+    any_gt = jnp.any(gt_valid)
+    labels = jnp.where(any_gt, labels, 0)
+    return MatchResult(matched_idx=matched_idx, labels=labels)
+
+
+class SampleResult(NamedTuple):
+    # Weight 1.0 on sampled candidates (pos or neg), 0 elsewhere: [N].
+    weights: jnp.ndarray
+    # Weight 1.0 on sampled positives only: [N].
+    pos_weights: jnp.ndarray
+
+
+def balanced_sample(
+    rng: jax.Array,
+    labels: jnp.ndarray,
+    candidate_valid: jnp.ndarray,
+    batch: int,
+    positive_fraction: float,
+) -> SampleResult:
+    """Random balanced subsample, returned as weight vectors over candidates.
+
+    ``labels`` uses the :func:`match` convention (+1 fg / 0 bg / -1 ignore).
+    """
+    n = labels.shape[0]
+    pos_mask = (labels == 1) & candidate_valid
+    neg_mask = (labels == 0) & candidate_valid
+
+    max_pos = int(round(batch * positive_fraction))
+    num_pos = jnp.minimum(jnp.sum(pos_mask), max_pos)
+    num_neg = jnp.minimum(jnp.sum(neg_mask), batch - num_pos)
+
+    kp, kn = jax.random.split(rng)
+    pos_scores = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), -1.0)
+    neg_scores = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), -1.0)
+
+    _, pos_idx = jax.lax.top_k(pos_scores, min(max_pos, n))
+    pos_sel = jnp.arange(pos_idx.shape[0]) < num_pos
+    _, neg_idx = jax.lax.top_k(neg_scores, min(batch, n))
+    neg_sel = jnp.arange(neg_idx.shape[0]) < num_neg
+
+    weights = jnp.zeros((n,), jnp.float32)
+    weights = weights.at[pos_idx].max(pos_sel.astype(jnp.float32))
+    pos_weights = weights
+    weights = weights.at[neg_idx].max(neg_sel.astype(jnp.float32))
+    return SampleResult(weights=weights, pos_weights=pos_weights)
+
+
+class GatheredSample(NamedTuple):
+    idx: jnp.ndarray      # [batch] candidate indices (positives first)
+    valid: jnp.ndarray    # [batch] slot validity
+    is_pos: jnp.ndarray   # [batch] positive-slot mask
+
+
+def balanced_sample_gather(
+    rng: jax.Array,
+    labels: jnp.ndarray,
+    candidate_valid: jnp.ndarray,
+    batch: int,
+    positive_fraction: float,
+) -> GatheredSample:
+    """Like :func:`balanced_sample` but returns a *compacted* fixed-size index
+    list (positives packed first) — what the RoI head needs so it only pools
+    features for the sampled proposals.
+    """
+    n = labels.shape[0]
+    pos_mask = (labels == 1) & candidate_valid
+    neg_mask = (labels == 0) & candidate_valid
+
+    max_pos = int(round(batch * positive_fraction))
+    num_pos = jnp.minimum(jnp.sum(pos_mask), max_pos)
+    num_neg = jnp.minimum(jnp.sum(neg_mask), batch - num_pos)
+
+    kp, kn = jax.random.split(rng)
+    pos_scores = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), -1.0)
+    neg_scores = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), -1.0)
+
+    _, pos_idx = jax.lax.top_k(pos_scores, min(max_pos, n))       # [P]
+    pos_sel = jnp.arange(pos_idx.shape[0]) < num_pos
+    _, neg_idx = jax.lax.top_k(neg_scores, min(batch, n))          # [B]
+    neg_sel = jnp.arange(neg_idx.shape[0]) < num_neg
+
+    # Pack: P pos slots then B neg slots -> stable-sort by (invalid, order)
+    # and keep the first `batch`.
+    all_idx = jnp.concatenate([pos_idx, neg_idx])
+    all_valid = jnp.concatenate([pos_sel, neg_sel])
+    all_is_pos = jnp.concatenate(
+        [jnp.ones_like(pos_sel), jnp.zeros_like(neg_sel)])
+    order = jnp.argsort(~all_valid, stable=True)[:batch]
+    return GatheredSample(
+        idx=all_idx[order].astype(jnp.int32),
+        valid=all_valid[order],
+        is_pos=all_is_pos[order] & all_valid[order],
+    )
