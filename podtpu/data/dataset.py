@@ -1,0 +1,132 @@
+"""Host-side detection dataset: decode, fit-resize, pad, fixed-shape targets.
+
+Counterpart of the reference's torch dataset adapter
+(`miso/object_detection/dataset/dataset.py:9-51`): images are PIL-decoded and
+RGB-converted (:18), boxes become xyxy float targets (:20-24), and labels are
+1-based indices into ``project.label_names`` with background=0 (:21).
+
+TPU-first differences (SURVEY.md §7 "hard part (1)"): instead of
+variable-sized tensors per image, every sample is fit-resized
+(aspect-preserving) onto a fixed canvas and padded bottom/right, and targets
+are fixed-capacity ``[max_gt]`` arrays with a validity mask — the shapes XLA
+compiles against never change.  The resize scale is kept so detections can be
+mapped back to original image coordinates.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from podtpu.data.project import Project
+
+
+@dataclass
+class Sample:
+    image: np.ndarray        # [H, W, 3] float32 in [0,1], canvas-sized
+    boxes: np.ndarray        # [G, 4] float32 xyxy, canvas coords
+    labels: np.ndarray       # [G] int32, 1-based; 0 on invalid slots
+    valid: np.ndarray        # [G] bool
+    scale: float             # canvas px per original px
+    original_size: Tuple[int, int]  # (h, w)
+    index: int
+
+
+def fit_resize(image: np.ndarray, canvas: Tuple[int, int]):
+    """Aspect-preserving resize so the image fits the canvas; returns the
+    resized array and the scale factor."""
+    h, w = image.shape[:2]
+    ch, cw = canvas
+    scale = min(ch / h, cw / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    try:
+        import cv2
+        interp = cv2.INTER_LINEAR if scale >= 1 else cv2.INTER_AREA
+        resized = cv2.resize(image, (nw, nh), interpolation=interp)
+    except ImportError:  # pragma: no cover - cv2 is present in this image
+        resized = np.asarray(
+            Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+    return resized, scale
+
+
+class DetectionDataset:
+    """Fixed-shape samples from a :class:`Project`."""
+
+    def __init__(
+        self,
+        project: Project,
+        image_size: Tuple[int, int] = (1024, 1024),
+        max_gt: int = 100,
+        label_names: Optional[Sequence[str]] = None,
+    ):
+        self.project = project
+        self.images = list(project.image_dict.values())
+        self.image_size = tuple(image_size)
+        self.max_gt = max_gt
+        # Label -> 1-based index (background = 0), same convention as the
+        # reference (`dataset.py:21`).
+        names = list(label_names) if label_names is not None \
+            else list(project.label_names)
+        self.label_names = names
+        self.label_to_index = {n: i + 1 for i, n in enumerate(names)}
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def load(self, i: int) -> Sample:
+        meta = self.images[i]
+        with Image.open(meta.full_path) as im:
+            arr = np.asarray(im.convert("RGB"))
+        orig_h, orig_w = arr.shape[:2]
+        resized, scale = fit_resize(arr, self.image_size)
+        ch, cw = self.image_size
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[: resized.shape[0], : resized.shape[1]] = \
+            resized.astype(np.float32) / 255.0
+
+        g = self.max_gt
+        boxes = np.zeros((g, 4), np.float32)
+        labels = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        kept = [b for b in meta.boxes if b.label in self.label_to_index][:g]
+        for j, box in enumerate(kept):
+            x1, y1, x2, y2 = box.coords
+            boxes[j] = np.array([x1, y1, x2, y2]) * scale
+            labels[j] = self.label_to_index[box.label]
+            valid[j] = True
+        np.clip(boxes[:, 0::2], 0, cw, out=boxes[:, 0::2])
+        np.clip(boxes[:, 1::2], 0, ch, out=boxes[:, 1::2])
+        return Sample(image=canvas, boxes=boxes, labels=labels, valid=valid,
+                      scale=scale, original_size=(orig_h, orig_w), index=i)
+
+
+def train_test_split(
+    n: int, fraction: float = 0.2, seed: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random split: last ``fraction`` of a seeded permutation is the test
+    set — the reference's scheme (`miso/object_detection/training.py:53-57`,
+    fixed seed 1, 20% test; SURVEY.md notes the test images come from the
+    same tasks)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    k = int(fraction * n)
+    if k == 0:
+        return perm, perm[:0]
+    return perm[:-k], perm[-k:]
+
+
+def collate(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+    """Stack samples into one fixed-shape batch dict."""
+    return {
+        "image": np.stack([s.image for s in samples]),
+        "boxes": np.stack([s.boxes for s in samples]),
+        "labels": np.stack([s.labels for s in samples]),
+        "valid": np.stack([s.valid for s in samples]),
+        "scale": np.asarray([s.scale for s in samples], np.float32),
+        "original_size": np.asarray([s.original_size for s in samples],
+                                    np.int32),
+        "index": np.asarray([s.index for s in samples], np.int32),
+    }

@@ -1,0 +1,113 @@
+"""Prefetching batch loader: threaded decode, fixed-shape batches.
+
+TPU-native counterpart of the reference's ``torch.utils.data.DataLoader``
+setup (`miso/object_detection/training.py:64-83`: 4 workers, custom collate,
+the ``file_system`` sharing-strategy workaround).  Fork-based worker processes
+and shared-memory tensors don't apply here; instead:
+
+* a thread pool decodes+resizes (PIL/cv2 release the GIL for the heavy work),
+* batches are assembled into fixed-shape numpy arrays,
+* a bounded queue keeps ``prefetch`` batches ready so host IO overlaps device
+  compute (double buffering).
+
+Short/ragged epochs wrap around instead of emitting partial batches: every
+batch has the SAME static shape (XLA recompiles on shape change).  A
+``batch_valid`` mask marks wrapped duplicates so evaluation can skip them.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from podtpu.data.dataset import DetectionDataset, collate
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset: DetectionDataset,
+        batch_size: int,
+        indices: Optional[np.ndarray] = None,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices = np.asarray(
+            indices if indices is not None else np.arange(len(dataset)))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if len(self.indices) == 0:
+            return 0
+        return -(-len(self.indices) // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _epoch_order(self) -> np.ndarray:
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Tuple[dict, np.ndarray]]:
+        order = self._epoch_order()
+        n = len(order)
+        if n == 0:
+            return
+        bs = self.batch_size
+        num_batches = len(self)
+
+        def batch_indices(b):
+            idx = order[b * bs: (b + 1) * bs]
+            valid = np.ones(len(idx), bool)
+            if len(idx) < bs:  # wrap around to keep shapes static
+                extra = order[: bs - len(idx)]
+                if len(extra) < bs - len(idx):  # dataset smaller than batch
+                    extra = np.resize(order, bs - len(idx))
+                idx = np.concatenate([idx, extra])
+                valid = np.concatenate(
+                    [valid, np.zeros(bs - len(valid), bool)])
+            return idx, valid
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(num_batches):
+                    if stop.is_set():
+                        break
+                    idx, bvalid = batch_indices(b)
+                    samples = list(pool.map(self.dataset.load, idx))
+                    out_q.put((collate(samples), bvalid))
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)

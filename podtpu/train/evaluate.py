@@ -1,0 +1,60 @@
+"""Evaluation loop: run detections over a loader, score with COCO metrics.
+
+Counterpart of the reference's ``evaluate``
+(`miso/object_detection/engine/engine.py:78-117`) minus its per-epoch
+full-dataset COCO re-index (`engine/coco_utils.py:146-195` — a known perf
+sink, SURVEY.md §"quirks"): ground truth is streamed straight from the
+fixed-shape batches.  Detections and gt are mapped back to original image
+coordinates (divide by the per-image fit-resize scale) before scoring, the
+same frame in which torchvision's postprocess reports boxes.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from podtpu.core.logging import is_main_process
+from podtpu.train.coco_metrics import COCOEvaluator
+
+
+def evaluate(eval_step, params, frozen, loader, num_classes: int,
+             verbose: bool = True) -> Tuple[COCOEvaluator, List[float]]:
+    """Returns (evaluator, the 12 COCO stats)."""
+    evaluator = COCOEvaluator(num_classes=num_classes)
+    model_time = 0.0
+    n_images = 0
+    for batch, batch_valid in loader:
+        t0 = time.time()
+        out = eval_step(params, frozen, batch["image"])
+        # Mask models return (Detections, masks); box models the NamedTuple.
+        det = out if hasattr(out, "boxes") else out[0]
+        det_np = {
+            "boxes": np.asarray(det.boxes),
+            "scores": np.asarray(det.scores),
+            "labels": np.asarray(det.labels),
+            "valid": np.asarray(det.valid),
+        }
+        model_time += time.time() - t0
+        for i, ok in enumerate(batch_valid):
+            if not ok:
+                continue
+            scale = float(batch["scale"][i])
+            gv = batch["valid"][i]
+            dv = det_np["valid"][i]
+            evaluator.update(
+                gt_boxes=batch["boxes"][i][gv] / scale,
+                gt_labels=batch["labels"][i][gv],
+                dt_boxes=det_np["boxes"][i][dv] / scale,
+                dt_scores=det_np["scores"][i][dv],
+                dt_labels=det_np["labels"][i][dv],
+            )
+            n_images += 1
+    stats = evaluator.summarize()
+    if verbose and is_main_process():
+        print(f"Evaluated {n_images} images "
+              f"(model time {model_time:.2f}s)")
+        print("IoU metric: bbox")
+        print(evaluator.summary_text())
+    return evaluator, stats

@@ -1,0 +1,99 @@
+"""Jitted train / eval steps.
+
+Counterpart of the reference's epoch engine
+(`miso/object_detection/engine/engine.py:12-117`): forward, summed loss dict,
+backward, optimizer step, LR warmup on epoch 0 — but as ONE XLA program per
+step: device-side augmentation -> model forward -> loss -> grad -> update,
+with the learning rate injected as a scalar input (warmup + ALRS run on
+host).  The NaN hard-exit (engine.py:42-45) is enforced host-side whenever
+metrics are fetched.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from podtpu.core.config import Config
+from podtpu.models.detector import FasterRCNN
+from podtpu.ops.image_ops import augment_batch
+
+
+class TrainState(NamedTuple):
+    params: Any
+    frozen: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        frozen=variables["frozen"],
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model: FasterRCNN, tx, cfg: Config):
+    """Build the jitted train step: (state, batch, rng, lr) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
+                lr: jnp.ndarray):
+        rng_aug, rng_model = jax.random.split(rng)
+        images, boxes = augment_batch(
+            rng_aug, batch["image"], batch["boxes"],
+            hflip_prob=cfg.data.hflip_prob,
+            vflip_prob=cfg.data.vflip_prob,
+            distort=cfg.data.photometric_distort)
+        gt = {"boxes": boxes, "labels": batch["labels"],
+              "valid": batch["valid"]}
+        if "masks" in batch:
+            gt["masks"] = batch["masks"]
+
+        def loss_fn(params):
+            losses = model.apply({"params": params, "frozen": state.frozen},
+                                 images, gt=gt, train=True, rng=rng_model)
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["lr"] = lr
+        new_state = TrainState(params=params, frozen=state.frozen,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model: FasterRCNN):
+    """Jitted inference step: (variables, images) -> Detections [+ masks]."""
+
+    def step_fn(params, frozen, images):
+        return model.apply({"params": params, "frozen": frozen}, images,
+                           train=False)
+
+    return jax.jit(step_fn)
+
+
+def warmup_factor(cfg: Config, epoch: int, it: int, iters_in_epoch: int) -> float:
+    """Linear warmup on epoch 0 only (reference engine/engine.py:18-25:
+    factor 1/1000 -> 1 over min(1000, len(loader)-1) iterations)."""
+    if epoch != 0:
+        return 1.0
+    total = min(cfg.train.warmup_iters, max(iters_in_epoch - 1, 1))
+    if it >= total:
+        return 1.0
+    alpha = it / total
+    return cfg.train.warmup_start_factor * (1 - alpha) + alpha

@@ -1,0 +1,192 @@
+"""Training driver: project in, trained model directory out.
+
+Counterpart of the reference's ``train()``
+(`miso/object_detection/training.py:16-160`) with the same contract:
+
+* deep-copy the project, filter to the requested labels, drop unlabelled
+  images (:27-32);
+* 80/20 random split with a fixed seed (:53-57);
+* SGD(lr .005, momentum .9, wd 5e-4) or Adam(1e-3) (:96-106);
+* epoch loop of train -> evaluate -> ALRS step, stopping after 4 LR drops
+  (:120-127);
+* artifacts: model + ``labels.txt`` + ``results.txt`` in
+  ``output_dir/<name or timestamp>`` (:135-160).
+
+TPU-first: one jitted step (augment+forward+loss+grad+update), device-side
+augmentation, static-shape batches, LR injected from host (warmup + ALRS),
+COCO gt indexed once (not per epoch).  Additions over the reference:
+per-epoch resume checkpoints and a ``sum-loss`` NaN guard enforced at metric
+fetch (the reference sys.exit(1)s per step, engine.py:42-45).
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+import sys
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from podtpu.core.config import Config, ModelConfig, TrainConfig
+from podtpu.core.logging import MetricLogger, is_main_process
+from podtpu.data.dataset import DetectionDataset, train_test_split
+from podtpu.data.loader import Loader
+from podtpu.data.project import Project
+from podtpu.models.detector import FasterRCNN, build_model
+from podtpu.shared.utils import now_as_str
+from podtpu.train import checkpoints as ckpt
+from podtpu.train.alrs import AdaptiveLearningRateScheduler
+from podtpu.train.coco_metrics import STAT_NAMES
+from podtpu.train.evaluate import evaluate
+from podtpu.train.optim import make_optimizer
+from podtpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    warmup_factor,
+)
+
+
+def train(project: Project,
+          labels: Optional[List[str]] = None,
+          output_dir: Optional[str] = None,
+          name: Optional[str] = None,
+          batch_size: int = 2,
+          alrs_epochs: int = 10,
+          alrs_drops: int = 4,
+          alrs_startup_factor: int = 2,
+          optimiser: str = "sgd",
+          max_epochs: int = 500,
+          config: Optional[Config] = None,
+          pretrained: Optional[str] = None,
+          resume: bool = False,
+          seed: int = 0,
+          num_workers: int = 4) -> str:
+    """Train a detector on ``project``; returns the model directory path."""
+    # -- project fixup (reference training.py:27-32) -------------------------
+    project = copy.deepcopy(project)
+    if labels is not None:
+        project.keep_annotations_with_label(labels)
+    project.remove_unlabelled_images()
+    project.update_label_dict()
+    labels = project.label_names
+
+    cfg = config or Config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batch_size=batch_size, optimiser=optimiser,
+            alrs_epochs=alrs_epochs, alrs_drops=alrs_drops,
+            alrs_startup_factor=alrs_startup_factor, max_epochs=max_epochs),
+        model=dataclasses.replace(cfg.model, num_classes=len(labels) + 1),
+    )
+
+    print()
+    print("=" * 80)
+    if output_dir is None:
+        output_dir = os.getcwd()
+    if name is None:
+        name = now_as_str()
+    output_dir = os.path.join(output_dir, name)
+    print("Object detector training (podtpu)")
+    print(f"- output directory: {output_dir}")
+    project.summary()
+
+    # -- data ---------------------------------------------------------------
+    dataset = DetectionDataset(project, image_size=cfg.model.image_size,
+                               max_gt=cfg.model.max_gt_boxes,
+                               label_names=labels)
+    train_idx, test_idx = train_test_split(
+        len(dataset), cfg.train.split_fraction, cfg.train.split_seed)
+    print("Training set images")
+    print(f"- total: {len(dataset)}")
+    print(f"- train: {len(train_idx)}")
+    print(f"- test:  {len(test_idx)}")
+
+    loader_train = Loader(dataset, batch_size, indices=train_idx,
+                          shuffle=True, seed=seed, num_workers=num_workers)
+    loader_test = Loader(dataset, batch_size, indices=test_idx,
+                         shuffle=False, num_workers=num_workers)
+
+    # -- model + optimizer ---------------------------------------------------
+    num_classes = len(labels) + 1
+    print(f"Number of classes: {num_classes}")
+    print(f"Optimiser: {cfg.train.optimiser}")
+    model = FasterRCNN(cfg=cfg.model)
+    init_rng, loop_rng = jax.random.split(jax.random.key(seed))
+    sample_img = np.zeros((1,) + tuple(cfg.model.image_size) + (3,),
+                          np.float32)
+    variables = model.init(init_rng, sample_img, train=False)
+    if pretrained:
+        from podtpu.models.weights import load_pretrained
+        variables = load_pretrained(variables, pretrained)
+
+    tx = make_optimizer(cfg.train, cfg.model)
+    state = create_train_state(variables, tx)
+    base_lr = cfg.train.lr if optimiser == "sgd" else cfg.train.adam_lr
+    alrs = AdaptiveLearningRateScheduler(
+        base_lr, factor=cfg.train.alrs_factor, nb_drops=alrs_drops,
+        nb_epochs=alrs_epochs, startup_delay_factor=alrs_startup_factor)
+
+    start_epoch = 0
+    if resume:
+        restored = ckpt.load_train_checkpoint(output_dir)
+        if restored is not None:
+            state = TrainState(
+                params=restored["params"], frozen=restored["frozen"],
+                opt_state=restored["opt_state"],
+                step=np.asarray(restored["step"], np.int32))
+            alrs.load_state_dict(restored["alrs"])
+            start_epoch = restored["epoch"] + 1
+            print(f"Resumed from epoch {restored['epoch']}")
+
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model)
+
+    # -- epoch loop (reference training.py:120-127) --------------------------
+    print("=" * 80)
+    epoch = start_epoch
+    stats = None
+    for epoch in range(start_epoch, max_epochs):
+        loader_train.set_epoch(epoch)
+        logger = MetricLogger()
+        iters = len(loader_train)
+        step_rngs = jax.random.split(
+            jax.random.fold_in(loop_rng, epoch), max(iters, 1))
+        for it, (batch, _bvalid) in enumerate(
+                logger.log_every(loader_train, cfg.train.log_every,
+                                 header=f"Epoch: [{epoch}]", total=iters)):
+            lr = alrs.lr * warmup_factor(cfg, epoch, it, iters)
+            state, metrics = train_step(state, batch, step_rngs[it],
+                                        np.float32(lr))
+            if it % cfg.train.log_every == 0 or it == iters - 1:
+                host = {k: float(v) for k, v in metrics.items()}
+                if cfg.train.nan_is_fatal and not np.isfinite(host["loss"]):
+                    print(f"Loss is {host['loss']}, stopping training")
+                    print({k: v for k, v in host.items() if k != "lr"})
+                    sys.exit(1)
+                logger.update(**host)
+        evaluate(eval_step, state.params, state.frozen, loader_test,
+                 num_classes=len(labels))
+        ckpt.save_train_checkpoint(output_dir, state, epoch,
+                                   alrs.state_dict())
+        if alrs.step(epoch, logger.meters["loss"].global_avg):
+            break
+
+    print("-" * 80)
+    print(f"Training finished, {epoch + 1} epochs")
+    _, stats = evaluate(eval_step, state.params, state.frozen, loader_test,
+                        num_classes=len(labels))
+    print("=" * 80)
+
+    # -- artifacts (reference training.py:135-160) ---------------------------
+    if is_main_process():
+        os.makedirs(output_dir, exist_ok=True)
+        ckpt.save_model(output_dir, state.params, state.frozen, cfg.model,
+                        labels)
+        ckpt.save_labels(output_dir, labels)
+        ckpt.save_results(output_dir, stats, STAT_NAMES)
+    return output_dir
