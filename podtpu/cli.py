@@ -1,0 +1,268 @@
+"""Command-line interface.
+
+Preserves the reference CLI's exact command/flag surface
+(`miso/cli.py:15-257`): a click group with ``train-object-detector``,
+``infer-object-detector``, ``crop-objects`` and
+``infer-object-detector-directory``, the same option names/defaults
+(batch-size 2, api v1, output ``/obj_det/models``, max-epochs 100000,
+alrs-epochs 10, optimiser sgd, threshold 0.5, ``--nv``, ``--wsl2``, ...).
+
+Additions (the reference hardcodes these): ``--server`` for the CVAT url
+(default ``http://cvat:8080``, `cli.py:101`), ``--username``/``--password``
+(default admin/admin, `cvat_web_api.py:317`), ``--image-size`` for the static
+canvas, and a new ``infer-object-detector-tiled`` command exposing the
+sliding-window scan path.
+
+Run as ``python -m podtpu.cli`` (the reference's ``python -m miso.cli``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os.path
+from pathlib import Path
+
+import click
+
+from podtpu.data.cvat.client import CvatTask
+from podtpu.data.project import Project
+from podtpu.shared.utils import now_as_str
+
+
+def _load_tasks(tasks, server, wsl2, api, username, password) -> Project:
+    project = Project()
+    for task_id in tasks:
+        task = CvatTask(server, task_id, is_wsl2=wsl2, api=api, debug=True,
+                        username=username, password=password)
+        task.load()
+        project.add_project(task.project)
+    return project
+
+
+def _read_labels(labels_path):
+    from podtpu.train.checkpoints import read_labels
+    return read_labels(labels_path)
+
+
+server_options = [
+    click.option("--server", type=str, default="http://cvat:8080",
+                 show_default=True, help="CVAT server URL"),
+    click.option("--username", type=str, default="admin", show_default=True,
+                 help="CVAT username"),
+    click.option("--password", type=str, default="admin",
+                 help="CVAT password"),
+]
+
+
+def add_options(options):
+    def wrap(fn):
+        for option in reversed(options):
+            fn = option(fn)
+        return fn
+    return wrap
+
+
+@click.group()
+def cli():
+    pass
+
+
+@cli.command()
+@click.option("-t", "--tasks", type=str,
+              prompt="List of task ids to train on",
+              help="List of task ids to train on separated by commas")
+@click.option("-l", "--labels", type=str, default=None,
+              help="List of label names to train on separated by commas")
+@click.option("--merge-label", type=str, default=None,
+              help="Merge the labels into a single label")
+@click.option("--batch-size", type=int, default=2, show_default=True,
+              help="Batch size for training (reduce if getting "
+                   "out-of-memory errors")
+@click.option("--wsl2", is_flag=True, default=False,
+              help="Running this on a windows machine using WSL2 instead "
+                   "of docker")
+@click.option("--api", type=str, default="v1", show_default=True,
+              help="CVAT api version string, v1 or v2")
+@click.option("-o", "--output-dir", type=str, default="/obj_det/models",
+              show_default=True, help="Model output directory")
+@click.option("-m", "--model", type=str, default=None, help="Model name")
+@click.option("-d", "--data", type=str, default="/data", show_default=True,
+              help="Data directory")
+@click.option("--max-epochs", type=int, default=100000, show_default=True,
+              help="Maximum number of epochs")
+@click.option("--alrs-epochs", type=int, default=10, show_default=True,
+              help="Number of epochs to monitor for alrs")
+@click.option("--optimiser", type=str, default="sgd", show_default=True,
+              help="Optimiser to use")
+@click.option("--image-size", type=int, default=1024, show_default=True,
+              help="Static training canvas size (square)")
+@click.option("--pretrained", type=str, default=None,
+              help="Path to pretrained backbone weights "
+                   "(torchvision .pth or converted .msgpack)")
+@click.option("--resume", is_flag=True, default=False,
+              help="Resume from the last epoch checkpoint if present")
+@add_options(server_options)
+def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
+                          output_dir, model, data, max_epochs, alrs_epochs,
+                          optimiser, image_size, pretrained, resume,
+                          server, username, password):
+    from podtpu.core.config import Config
+    from podtpu.train.train import train
+
+    task_ids = [int(task.strip()) for task in tasks.split(",")]
+    if labels is not None:
+        labels = [label.strip() for label in labels.split(",")]
+
+    project = _load_tasks(task_ids, server, wsl2, api, username, password)
+
+    if merge_label is not None:
+        for label in list(project.label_dict.values()):
+            if labels and label.name in labels:
+                project.rename_label(label.name, merge_label)
+        project.update_label_dict()
+        labels = [merge_label]
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       image_size=(image_size, image_size)))
+    train(project, labels,
+          output_dir=output_dir, name=model, batch_size=batch_size,
+          max_epochs=max_epochs, alrs_epochs=alrs_epochs,
+          optimiser=optimiser, config=cfg, pretrained=pretrained,
+          resume=resume)
+
+
+@cli.command()
+@click.option("--tasks", type=str, prompt="List of task ids to infer on",
+              help="List of task ids to infer on")
+@click.option("--model-dir", type=str, default="/obj_det/models",
+              show_default=True, help="Directory containing models")
+@click.option("--model", type=str,
+              prompt="Name of folder containing model",
+              help="Name of folder containing model")
+@click.option("--threshold", type=float, default=0.5,
+              help="Detection threshold")
+@click.option("--batch-size", type=int, default=2,
+              help="Batch size for training (reduce if getting "
+                   "out-of-memory errors")
+@click.option("--nv", is_flag=True, default=False,
+              help="Append NV to the detected labels")
+@click.option("--wsl2", is_flag=True, default=False,
+              help="Running this on a windows machine using WSL2 instead "
+                   "of docker")
+@click.option("--api", type=str, default="v1", show_default=True,
+              help="CVAT api version string, v1 or v2")
+@add_options(server_options)
+def infer_object_detector(tasks, model_dir, model, threshold, batch_size, nv,
+                          wsl2, api, server, username, password):
+    from podtpu.infer.inference import infer
+
+    task_ids = [int(task) for task in tasks.split(",")]
+    model_path = os.path.join(model_dir, model)
+    labels = _read_labels(os.path.join(model_dir, model, "labels.txt"))
+
+    for task_id in task_ids:
+        task = CvatTask(server, task_id, is_wsl2=wsl2, api=api, debug=True,
+                        username=username, password=password)
+        task.load()
+        project = infer(task.project, model_path, labels, threshold,
+                        batch_size, nv)
+        project.summary()
+        task.add_shapes(project)
+
+
+@cli.command()
+@click.option("--tasks", type=str, prompt="List of task ids to crop from",
+              help="List of task ids to crop from")
+@click.option("-o", "--output-dir", type=str, default="/obj_det/crops",
+              show_default=True, help="Crop output directory")
+@click.option("--wsl2", is_flag=True, default=False,
+              help="Running this on a windows machine using WSL2 instead "
+                   "of docker")
+@click.option("--api", type=str, default="v1", show_default=True,
+              help="CVAT api version string, v1 or v2")
+@add_options(server_options)
+def crop_objects(tasks, output_dir, wsl2, api, server, username, password):
+    from podtpu.infer.crop import crop_objects as crop_objects_fn
+
+    task_ids = [int(task) for task in tasks.split(",")]
+    output_dir = os.path.join(
+        output_dir,
+        now_as_str() + "_" + "_".join(str(t) for t in task_ids))
+    for task_id in task_ids:
+        task = CvatTask(server, task_id, is_wsl2=wsl2, api=api, debug=True,
+                        username=username, password=password)
+        task.load()
+        crop_objects_fn(task.project, output_dir)
+
+
+@cli.command()
+@click.option("-i", "--input-dir", type=str,
+              prompt="Name of folder containing images to infer on",
+              help="Name of folder containing images to infer on")
+@click.option("-o", "--output-dir", type=str,
+              prompt="Name of folder to store results",
+              help="Name of folder to store results")
+@click.option("--model-dir", type=str, default="/obj_det/models",
+              show_default=True, help="Directory containing models")
+@click.option("--model", type=str,
+              prompt="Name of folder containing model",
+              help="Name of folder containing model")
+@click.option("--threshold", type=float, default=0.5,
+              help="Detection threshold")
+@click.option("--batch-size", type=int, default=2,
+              help="Batch size for training (reduce if getting "
+                   "out-of-memory errors")
+def infer_object_detector_directory(input_dir, output_dir, model_dir, model,
+                                    threshold, batch_size):
+    from podtpu.infer.crop import crop_objects as crop_objects_fn
+    from podtpu.infer.inference import infer_directory
+
+    model_path = os.path.join(model_dir, model)
+    labels = _read_labels(os.path.join(model_dir, model, "labels.txt"))
+    project = infer_directory(input_dir, model_path, labels, threshold,
+                              batch_size)
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    crop_objects_fn(project, output_dir, relative_to=input_dir)
+
+
+@cli.command()
+@click.option("-i", "--input", "input_path", type=str,
+              prompt="Image file to scan", help="Large scan image to tile")
+@click.option("--model-dir", type=str, default="/obj_det/models",
+              show_default=True, help="Directory containing models")
+@click.option("--model", type=str,
+              prompt="Name of folder containing model",
+              help="Name of folder containing model")
+@click.option("--threshold", type=float, default=0.5,
+              help="Detection threshold")
+@click.option("--overlap", type=float, default=0.25, show_default=True,
+              help="Tile overlap fraction")
+@click.option("--batch-size", type=int, default=4, show_default=True)
+@click.option("-o", "--output", type=str, default=None,
+              help="Write detections as JSON to this path")
+def infer_object_detector_tiled(input_path, model_dir, model, threshold,
+                                overlap, batch_size, output):
+    """Sliding-window scan inference with cross-tile NMS (new capability)."""
+    import json
+
+    from podtpu.infer.tiled import infer_tiled
+    from podtpu.train.checkpoints import read_labels
+
+    model_path = os.path.join(model_dir, model)
+    labels = read_labels(os.path.join(model_dir, model, "labels.txt"))
+    dets = infer_tiled(input_path, model_path, threshold=threshold,
+                       overlap=overlap, batch_size=batch_size)
+    rows = [{"box": d.box, "score": d.score,
+             "label": labels[d.label - 1]} for d in dets]
+    text = json.dumps(rows, indent=2)
+    if output:
+        with open(output, "w") as fp:
+            fp.write(text)
+    else:
+        print(text)
+    print(f"{len(dets)} detections")
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,138 @@
+"""Tiled sliding-window inference with cross-tile NMS.
+
+New first-class capability (SURVEY.md §5 "long-context"): the reference has
+no tiled inference — detections are whole-image, and its README notes batch
+size is limited by memory for large micrographs (`README.md:153`).  Here,
+arbitrarily large scans are processed as overlapping canvas-sized tiles
+batched through the SAME static-shape jitted forward pass (no recompiles,
+tiles fill the batch dimension), then merged:
+
+* tiles overlap by a configurable fraction so objects split by a tile
+  boundary are seen whole in a neighbouring tile;
+* per-tile detections are shifted into scan coordinates;
+* duplicates from overlap zones are removed by class-aware greedy NMS on the
+  thresholded survivors (host-side: counts are tiny after thresholding).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from podtpu.infer.inference import load_inference_model
+
+
+@dataclass
+class TiledDetection:
+    box: Tuple[float, float, float, float]  # xyxy in scan coordinates
+    score: float
+    label: int  # 1-based model label index
+
+
+def tile_origins(size: int, tile: int, stride: int) -> List[int]:
+    """Start offsets covering ``size`` with ``tile``-sized windows."""
+    if size <= tile:
+        return [0]
+    xs = list(range(0, size - tile, stride))
+    xs.append(size - tile)  # final tile flush with the edge
+    return xs
+
+
+def greedy_nms(boxes: np.ndarray, scores: np.ndarray,
+               iou_threshold: float) -> np.ndarray:
+    """Host-side greedy NMS; returns kept indices in score order."""
+    order = np.argsort(-scores, kind="stable")
+    keep: List[int] = []
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        ok = True
+        for j in keep:
+            x1 = max(boxes[i, 0], boxes[j, 0])
+            y1 = max(boxes[i, 1], boxes[j, 1])
+            x2 = min(boxes[i, 2], boxes[j, 2])
+            y2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(x2 - x1, 0.0) * max(y2 - y1, 0.0)
+            union = areas[i] + areas[j] - inter
+            if union > 0 and inter / union > iou_threshold:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return np.asarray(keep, np.int64)
+
+
+def cross_tile_nms(detections: Sequence[TiledDetection],
+                   iou_threshold: float = 0.5) -> List[TiledDetection]:
+    """Class-aware NMS across tile boundaries."""
+    if not detections:
+        return []
+    boxes = np.asarray([d.box for d in detections], np.float64)
+    scores = np.asarray([d.score for d in detections])
+    labels = np.asarray([d.label for d in detections])
+    out: List[TiledDetection] = []
+    for cls in np.unique(labels):
+        sel = np.flatnonzero(labels == cls)
+        keep = greedy_nms(boxes[sel], scores[sel], iou_threshold)
+        out.extend(detections[int(sel[k])] for k in keep)
+    out.sort(key=lambda d: -d.score)
+    return out
+
+
+def infer_tiled(
+    image: Union[str, np.ndarray],
+    model_path: str,
+    threshold: float = 0.5,
+    overlap: float = 0.25,
+    batch_size: int = 4,
+    nms_threshold: float = 0.5,
+) -> List[TiledDetection]:
+    """Detect objects in an arbitrarily large scan image.
+
+    ``image``: path or ``[H, W, 3]`` uint8/float array.
+    """
+    from pathlib import Path
+    model_dir = str(Path(model_path).parent) if Path(model_path).suffix \
+        else str(model_path)
+    eval_step, params, frozen, cfg, _labels = load_inference_model(model_dir)
+    th, tw = cfg.image_size
+    assert th == tw, "tiled inference assumes a square canvas"
+    tile = th
+    stride = max(1, int(round(tile * (1.0 - overlap))))
+
+    if isinstance(image, str):
+        with Image.open(image) as im:
+            arr = np.asarray(im.convert("RGB"))
+    else:
+        arr = np.asarray(image)
+    if arr.dtype != np.float32:
+        arr = arr.astype(np.float32) / 255.0
+    h, w = arr.shape[:2]
+
+    origins = [(y, x) for y in tile_origins(h, tile, stride)
+               for x in tile_origins(w, tile, stride)]
+
+    detections: List[TiledDetection] = []
+    for start in range(0, len(origins), batch_size):
+        chunk = origins[start: start + batch_size]
+        batch = np.zeros((batch_size, tile, tile, 3), np.float32)
+        for bi, (y, x) in enumerate(chunk):
+            sub = arr[y: y + tile, x: x + tile]
+            batch[bi, : sub.shape[0], : sub.shape[1]] = sub
+        result = eval_step(params, frozen, batch)
+        det = result if hasattr(result, "boxes") else result[0]
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        valid = np.asarray(det.valid)
+        for bi, (y, x) in enumerate(chunk):
+            keep = valid[bi] & (scores[bi] > threshold)
+            for b, s, l in zip(boxes[bi][keep], scores[bi][keep],
+                               labels[bi][keep]):
+                detections.append(TiledDetection(
+                    box=(float(b[0] + x), float(b[1] + y),
+                         float(b[2] + x), float(b[3] + y)),
+                    score=float(s), label=int(l)))
+    return cross_tile_nms(detections, nms_threshold)

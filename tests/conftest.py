@@ -21,3 +21,57 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def tiny_config():
+    """Small-canvas config used by the e2e train/infer tests."""
+    from podtpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    model = ModelConfig(
+        image_size=(128, 128),
+        rpn_pre_nms_topk_train=128,
+        rpn_pre_nms_topk_test=128,
+        rpn_post_nms_topk_train=128,
+        rpn_post_nms_topk_test=64,
+        box_batch_per_image=32,
+        detections_per_image=16,
+        max_gt_boxes=8,
+        compute_dtype="float32",
+    )
+    train = TrainConfig(warmup_iters=10, log_every=1)
+    data = DataConfig(num_workers=2, photometric_distort=False)
+    return Config(model=model, train=train, data=data)
+
+
+@pytest.fixture(scope="session")
+def synthetic_root(tmp_path_factory):
+    from tests.synthetic import make_project
+
+    root = tmp_path_factory.mktemp("synthetic")
+    make_project(str(root / "images"), num_images=10)
+    return root
+
+
+@pytest.fixture(scope="session")
+def trained_model(synthetic_root):
+    """Train once per test session; shared by e2e + inference tests."""
+    from podtpu.train.train import train
+    from tests.synthetic import make_project
+
+    project = make_project(str(synthetic_root / "images"), num_images=10)
+    out = train(
+        project,
+        labels=["particle"],
+        output_dir=str(synthetic_root / "models"),
+        name="e2e",
+        batch_size=2,
+        max_epochs=2,
+        alrs_epochs=2,
+        alrs_startup_factor=1,
+        config=tiny_config(),
+        num_workers=2,
+        seed=0,
+    )
+    return out

@@ -1,0 +1,152 @@
+"""CVAT client tests against the in-process fake server."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from podtpu.data.cvat.client import Cvat, CvatProject, CvatTask
+from podtpu.data.project import Project
+from podtpu.data.annotation import RectangleAnnotation
+from tests.fake_cvat import FakeCvatServer, FakeCvatState
+
+LABELS = [{"id": 10, "name": "Coccolith", "color": "#ff0000"},
+          {"id": 11, "name": "Foram", "color": "#00ff00"}]
+
+
+@pytest.fixture
+def image_root(tmp_path):
+    root = tmp_path / "data"
+    # The client appends <data_location>/raw to an explicit root.
+    raw = root / "7" / "raw"
+    raw.mkdir(parents=True)
+    for name in ["frame0.jpg", "frame1.jpg", "frame2.jpg", "frame3.jpg"]:
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(raw / name)
+    return str(root)
+
+
+def make_state(shapes=None, tracks=None):
+    state = FakeCvatState()
+    state.add_task(5, "plankton_task", LABELS,
+                   ["frame0.jpg", "frame1.jpg", "frame2.jpg", "frame3.jpg"],
+                   shapes=shapes, tracks=tracks)
+    return state
+
+
+class TestLoad:
+    @pytest.mark.parametrize("api", ["v1", "v2"])
+    def test_load_shapes(self, image_root, api):
+        shapes = [
+            {"id": 1, "type": "rectangle", "frame": 0, "label_id": 10,
+             "points": [10.0, 20.0, 50.0, 60.0], "outside": False},
+            {"id": 2, "type": "polygon", "frame": 1, "label_id": 11,
+             "points": [0.0, 0.0, 10.0, 0.0, 10.0, 10.0], "outside": False},
+        ]
+        with FakeCvatServer(make_state(shapes=shapes)) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, api=api,
+                            debug=False)
+            task.load()
+        project = task.project
+        assert task.name == "plankton_task"
+        assert project.task_names == {5: "plankton_task"}
+        assert set(project.label_dict) == {"Coccolith", "Foram"}
+        assert len(project) == 4
+        images = {im.frame_id: im for im in project.images}
+        (box,) = images[0].boxes
+        assert box.label == "Coccolith"
+        assert box.bounds == (10.0, 20.0, 40.0, 40.0)
+        # Polygon imported via its bounding box (reference skipped it).
+        (poly_box,) = images[1].boxes
+        assert poly_box.label == "Foram"
+        assert poly_box.bounds == (0.0, 0.0, 10.0, 10.0)
+
+    def test_track_interpolation(self, image_root):
+        tracks = [{
+            "id": 99, "label_id": 10, "frame": 0,
+            "shapes": [
+                {"type": "rectangle", "frame": 0, "outside": False,
+                 "points": [0.0, 0.0, 10.0, 10.0]},
+                {"type": "rectangle", "frame": 3, "outside": False,
+                 "points": [30.0, 30.0, 40.0, 40.0]},
+            ]}]
+        with FakeCvatServer(make_state(tracks=tracks)) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+        images = {im.frame_id: im for im in task.project.images}
+        # Keyframes present.
+        assert images[0].boxes[0].bounds == (0, 0, 10, 10)
+        assert images[3].boxes[0].bounds == (30, 30, 10, 10)
+        # Interpolated boxes on their own frames (reference bug fixed).
+        assert images[1].boxes[0].bounds == (10, 10, 10, 10)
+        assert images[2].boxes[0].bounds == (20, 20, 10, 10)
+        assert images[1].boxes[0].track_id == 99
+
+    def test_missing_image_skipped(self, image_root, capsys):
+        state = FakeCvatState()
+        state.add_task(5, "t", LABELS, ["frame0.jpg", "missing.jpg"])
+        with FakeCvatServer(state) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+        assert len(task.project) == 1
+        assert "could not be found" in capsys.readouterr().out
+
+
+class TestUpload:
+    def test_add_shapes_patches_annotations(self, image_root):
+        state = make_state()
+        with FakeCvatServer(state) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+            detections = Project()
+            im = task.project.images[0]
+            im.boxes.append(RectangleAnnotation(1.2, 2.7, 10.0, 10.0,
+                                                "Coccolith", score=0.9))
+            detections.add_image(im)
+            task.add_shapes(detections)
+        patch = [p for p in state.patches if "annotations" in p["path"]][-1]
+        assert "action=create" in patch["path"]
+        body = patch["body"]
+        assert body["version"] == 0
+        (shape,) = body["shapes"]
+        assert shape["type"] == "rectangle"
+        assert shape["label_id"] == 10
+        assert shape["frame"] == im.frame_id
+        # coords_int rounding.
+        assert shape["points"] == [1, 3, 11, 13]
+
+    def test_add_missing_labels(self, image_root):
+        state = make_state()
+        with FakeCvatServer(state) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+            detections = Project()
+            detections.add_label(None, "Coccolith_NV", "#123456")
+            task.add_missing_labels(detections)
+            # New label registered server-side and refreshed client-side.
+            assert "Coccolith_NV" in task.label_dict_by_name
+        label_patch = [p for p in state.patches
+                       if "projects/1" in p["path"]][-1]
+        names = [l["name"] for l in label_patch["body"]["labels"]]
+        assert names == ["Coccolith_NV"]
+
+
+class TestProjectAndServer:
+    def test_project_load_and_task_listing(self, image_root):
+        state = make_state()
+        with FakeCvatServer(state) as srv:
+            proj = CvatProject(srv.url, 1, debug=False)
+            proj.load()
+            assert proj.label_to_id == {"Coccolith": 10, "Foram": 11}
+            cvat = Cvat(srv.url, debug=False)
+            cvat.load()
+            assert cvat.id_to_project == {1: "project1"}
+
+    def test_create_task(self, image_root):
+        state = make_state()
+        with FakeCvatServer(state) as srv:
+            proj = CvatProject(srv.url, 1, debug=False, create_task_wait=0)
+            new_id = proj.create_task("new_task", ["a.jpg", "b.jpg"])
+        assert new_id == 6
+        data_post = [p for p in state.posts if "/data" in p["path"]][-1]
+        assert data_post["body"]["server_files"] == ["a.jpg", "b.jpg"]
