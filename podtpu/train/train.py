@@ -34,7 +34,7 @@ from podtpu.core.logging import MetricLogger, is_main_process
 from podtpu.data.dataset import DetectionDataset, train_test_split
 from podtpu.data.loader import Loader
 from podtpu.data.project import Project
-from podtpu.models.detector import FasterRCNN, build_model
+from podtpu.models.detector import FasterRCNN, build_model, init_variables
 from podtpu.shared.utils import now_as_str
 from podtpu.train import checkpoints as ckpt
 from podtpu.train.alrs import AdaptiveLearningRateScheduler
@@ -117,9 +117,7 @@ def train(project: Project,
     print(f"Optimiser: {cfg.train.optimiser}")
     model = FasterRCNN(cfg=cfg.model)
     init_rng, loop_rng = jax.random.split(jax.random.key(seed))
-    sample_img = np.zeros((1,) + tuple(cfg.model.image_size) + (3,),
-                          np.float32)
-    variables = model.init(init_rng, sample_img, train=False)
+    variables = init_variables(model, init_rng)
     if pretrained:
         from podtpu.models.weights import load_pretrained
         variables = load_pretrained(variables, pretrained)
