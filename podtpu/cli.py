@@ -264,5 +264,52 @@ def infer_object_detector_tiled(input_path, model_dir, model, threshold,
     print(f"{len(dets)} detections")
 
 
+@cli.command()
+@click.option("-i", "--input-dir", type=str,
+              prompt="Folder of class-sorted crops",
+              help="Folder of class-sorted crops (crop-objects output)")
+@click.option("-o", "--output-dir", type=str, default="/obj_det/classifiers",
+              show_default=True, help="Model output directory")
+@click.option("-m", "--model", type=str, default=None, help="Model name")
+@click.option("--batch-size", type=int, default=32, show_default=True)
+@click.option("--image-size", type=int, default=128, show_default=True)
+@click.option("--max-epochs", type=int, default=100000, show_default=True)
+@click.option("--alrs-epochs", type=int, default=10, show_default=True)
+def train_crop_classifier(input_dir, output_dir, model, batch_size,
+                          image_size, max_epochs, alrs_epochs):
+    """Train a classifier on class-sorted object crops
+    (fills the reference's empty image_classification package)."""
+    from podtpu.train.classify import train_classifier
+
+    train_classifier(input_dir, output_dir=output_dir, name=model,
+                     batch_size=batch_size, image_size=image_size,
+                     max_epochs=max_epochs, alrs_epochs=alrs_epochs)
+
+
+@cli.command()
+@click.option("-i", "--input-dir", type=str, prompt="Folder of crops",
+              help="Folder of crops to classify")
+@click.option("--model-dir", type=str, default="/obj_det/classifiers",
+              show_default=True)
+@click.option("--model", type=str, prompt="Model folder name")
+@click.option("--batch-size", type=int, default=32, show_default=True)
+@click.option("-o", "--output", type=str, default=None,
+              help="Write path->label JSON here instead of stdout")
+def classify_crops(input_dir, model_dir, model, batch_size, output):
+    """Classify object crops with a trained crop classifier."""
+    import json
+
+    from podtpu.train.classify import classify_crops as classify_fn
+
+    result = classify_fn(input_dir, os.path.join(model_dir, model),
+                         batch_size=batch_size)
+    text = json.dumps(result, indent=2)
+    if output:
+        with open(output, "w") as fp:
+            fp.write(text)
+    else:
+        print(text)
+
+
 if __name__ == "__main__":
     cli()

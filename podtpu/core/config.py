@@ -83,6 +83,12 @@ class ModelConfig:
 
     # Compute policy
     compute_dtype: str = "bfloat16"  # backbone/FPN/head matmul dtype
+    # Use TPU-native approx_max_k for large top-k selections (pre-NMS anchor
+    # selection, pos/neg subsampling).  Exact top-k on TPU is a full sort;
+    # the approximate PartialReduce is ~10x cheaper and these call sites are
+    # order-insensitive (random subsampling) or recall-tolerant (pre-NMS
+    # candidate pools).
+    approx_topk: bool = True
 
     @property
     def num_levels(self) -> int:

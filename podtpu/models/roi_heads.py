@@ -101,7 +101,8 @@ def sample_rois(
                        allow_low_quality=False)
     labels = jnp.where(valid, m.labels, -1)  # exclude padded candidates
     samp = matching.balanced_sample_gather(
-        rng, labels, valid, cfg.box_batch_per_image, cfg.box_positive_fraction)
+        rng, labels, valid, cfg.box_batch_per_image,
+        cfg.box_positive_fraction, approx=cfg.approx_topk)
 
     sboxes = boxes[samp.idx]
     matched = m.matched_idx[samp.idx]

@@ -80,7 +80,8 @@ def select_proposals(
         cand_boxes, cand_scores, cand_valid = [], [], []
         for logits, deltas, anchors in zip(logits_l, deltas_l, level_anchors):
             kl = min(pre_k, logits.shape[0])
-            top_scores, idx = jax.lax.top_k(logits, kl)
+            top_scores, idx = matching.topk_maybe_approx(
+                logits, kl, cfg.approx_topk)
             boxes = box_ops.decode_boxes(deltas[idx], anchors[idx])
             boxes = box_ops.clip_boxes(boxes, (h, w))
             ok = box_ops.small_box_mask(boxes, cfg.rpn_min_size)
@@ -137,7 +138,8 @@ def rpn_losses(
                            allow_low_quality=True)
         samp = matching.balanced_sample(
             rng_i, m.labels, jnp.ones(all_anchors.shape[0], bool),
-            cfg.rpn_batch_per_image, cfg.rpn_positive_fraction)
+            cfg.rpn_batch_per_image, cfg.rpn_positive_fraction,
+            approx=cfg.approx_topk)
         targets = box_ops.encode_boxes(gt_b[m.matched_idx], all_anchors)
         fg = (m.labels == 1).astype(jnp.float32)
         return samp.weights, samp.pos_weights, fg, targets

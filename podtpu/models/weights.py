@@ -1,0 +1,195 @@
+"""Pretrained weight import: torchvision state_dict -> podtpu param tree.
+
+The reference fine-tunes from torchvision's COCO-pretrained
+``fasterrcnn_resnet50_fpn`` checkpoint (preloaded by its Dockerfile,
+`/root/reference/Dockerfile:4-5`, used via ``weights="DEFAULT"`` at
+`miso/object_detection/models.py:8-9`).  This module converts such a
+checkpoint (a ``.pth`` state_dict, loadable with CPU torch) into this
+framework's Flax parameter tree:
+
+* conv weights: OIHW -> HWIO transpose;
+* linear weights: [out, in] -> [in, out] transpose;
+* FrozenBatchNorm weight/bias/running_mean/running_var -> the ``frozen``
+  collection's weight/bias/mean/var;
+* torchvision module paths -> podtpu module names (backbone.body.layerX.Y ->
+  backbone/layerX_Y, backbone.fpn.inner_blocks -> fpn/lateralN, rpn.head ->
+  rpn_head, roi_heads.box_head/predictor -> box_head, mask head likewise).
+
+The class-specific heads (cls/reg, mask logits) are only copied when shapes
+match (i.e. same num_classes); otherwise they keep their fresh init — the
+same behavior as the reference's head replacement (`models.py:10-12`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _conv(w) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _dense(w) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _bottleneck_names(tv_prefix: str, ours_prefix: str, num_blocks: int):
+    """Map torchvision layerX.B.{...} to our layerX_B modules."""
+    out = {}
+    for b in range(num_blocks):
+        tp = f"{tv_prefix}.{b}"
+        op = f"{ours_prefix}_{b}"
+        for i in (1, 2, 3):
+            out[f"{tp}.conv{i}.weight"] = ("params", f"{op}/conv{i}/kernel",
+                                           _conv)
+            for stat, ours in (("weight", "weight"), ("bias", "bias"),
+                               ("running_mean", "mean"),
+                               ("running_var", "var")):
+                out[f"{tp}.bn{i}.{stat}"] = ("frozen", f"{op}/bn{i}/{ours}",
+                                             np.asarray)
+        out[f"{tp}.downsample.0.weight"] = ("params", f"{op}/conv_down/kernel",
+                                            _conv)
+        for stat, ours in (("weight", "weight"), ("bias", "bias"),
+                           ("running_mean", "mean"), ("running_var", "var")):
+            out[f"{tp}.downsample.1.{stat}"] = (
+                "frozen", f"{op}/bn_down/{ours}", np.asarray)
+    return out
+
+
+def torchvision_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """state_dict key -> (collection, 'a/b/c' path, transform)."""
+    m: Dict[str, Tuple[str, str, callable]] = {}
+    bb = "backbone.body"
+    m[f"{bb}.conv1.weight"] = ("params", "backbone/conv1/kernel", _conv)
+    for stat, ours in (("weight", "weight"), ("bias", "bias"),
+                       ("running_mean", "mean"), ("running_var", "var")):
+        m[f"{bb}.bn1.{stat}"] = ("frozen", f"backbone/bn1/{ours}", np.asarray)
+    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+        m.update(_bottleneck_names(f"{bb}.layer{stage}",
+                                   f"backbone/layer{stage}", blocks))
+    # FPN: inner_blocks = lateral 1x1, layer_blocks = 3x3 post convs.
+    for i in range(4):
+        for tvn, ours in ((f"backbone.fpn.inner_blocks.{i}",
+                           f"fpn/lateral{i + 2}"),
+                          (f"backbone.fpn.layer_blocks.{i}",
+                           f"fpn/post{i + 2}")):
+            # torchvision >=0.13 nests a `.0` Conv2dNormActivation member.
+            for cand in (tvn, f"{tvn}.0"):
+                m[f"{cand}.weight"] = ("params", f"{ours}/kernel", _conv)
+                m[f"{cand}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    # RPN head.
+    for tvn, ours in (("rpn.head.conv", "rpn_head/conv"),
+                      ("rpn.head.conv.0.0", "rpn_head/conv"),
+                      ("rpn.head.cls_logits", "rpn_head/objectness"),
+                      ("rpn.head.bbox_pred", "rpn_head/deltas")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    # Box head MLP + predictors.
+    for tvn, ours in (("roi_heads.box_head.fc6", "box_head/fc6"),
+                      ("roi_heads.box_head.fc7", "box_head/fc7"),
+                      ("roi_heads.box_predictor.cls_score", "box_head/cls"),
+                      ("roi_heads.box_predictor.bbox_pred", "box_head/reg")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _dense)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    # Mask head (Mask R-CNN checkpoints).
+    for i in range(1, 5):
+        for cand in (f"roi_heads.mask_head.mask_fcn{i}",
+                     f"roi_heads.mask_head.{i - 1}.0"):
+            m[f"{cand}.weight"] = ("params", f"mask_head/conv{i}/kernel",
+                                   _conv)
+            m[f"{cand}.bias"] = ("params", f"mask_head/conv{i}/bias",
+                                 np.asarray)
+    m["roi_heads.mask_predictor.conv5_mask.weight"] = (
+        "params", "mask_head/deconv/kernel",
+        lambda w: np.transpose(np.asarray(w), (2, 3, 1, 0)))
+    m["roi_heads.mask_predictor.conv5_mask.bias"] = (
+        "params", "mask_head/deconv/bias", np.asarray)
+    m["roi_heads.mask_predictor.mask_fcn_logits.weight"] = (
+        "params", "mask_head/logits/kernel", _conv)
+    m["roi_heads.mask_predictor.mask_fcn_logits.bias"] = (
+        "params", "mask_head/logits/bias", np.asarray)
+    return m
+
+
+def _fc6_from_torch(w, pooled_hw: int = 7, channels: int = 256) -> np.ndarray:
+    """torchvision fc6 consumes NCHW-flattened pooled features
+    (C, H, W order); our box head flattens NHWC (H, W, C).  Permute the
+    input dimension accordingly."""
+    w = np.asarray(w)  # [out, C*H*W]
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, channels, pooled_hw, pooled_hw)
+    w = np.transpose(w, (2, 3, 1, 0))  # H, W, C, out
+    return w.reshape(pooled_hw * pooled_hw * channels, out_dim)
+
+
+def _set_path(tree: dict, path: str, value: np.ndarray) -> bool:
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        if k not in node:
+            return False
+        node = node[k]
+    leaf = keys[-1]
+    if leaf not in node:
+        return False
+    if tuple(node[leaf].shape) != tuple(value.shape):
+        return False
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+    return True
+
+
+def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
+                                   verbose: bool = False) -> Dict:
+    """Copy matching weights from a torchvision state_dict into ``variables``
+    (a dict with 'params' and 'frozen' trees).  Returns the updated copy;
+    shape-mismatched heads are left at their fresh initialisation."""
+    import jax
+
+    out = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
+    key_map = torchvision_key_map()
+    loaded, skipped = 0, []
+    for key, tensor in state_dict.items():
+        if key not in key_map:
+            skipped.append(key)
+            continue
+        collection, path, transform = key_map[key]
+        value = transform(_to_numpy(tensor))
+        if key == "roi_heads.box_head.fc6.weight":
+            value = _fc6_from_torch(_to_numpy(tensor))
+        if _set_path(out[collection], path, value):
+            loaded += 1
+        else:
+            skipped.append(key)
+    if verbose:
+        print(f"weight import: {loaded} tensors loaded, "
+              f"{len(skipped)} skipped")
+        for k in skipped[:20]:
+            print(f"  skipped: {k}")
+    return out
+
+
+def _to_numpy(tensor) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        return tensor.detach().cpu().numpy()
+    return np.asarray(tensor)
+
+
+def load_pretrained(variables: Dict, path: str, verbose: bool = True) -> Dict:
+    """Load a pretrained checkpoint file into ``variables``.
+
+    Accepts a torch ``.pth``/``.pt`` state_dict (requires the baked-in CPU
+    torch) or a previously converted flax ``.msgpack``.
+    """
+    if path.endswith(".msgpack"):
+        from flax import serialization
+        with open(path, "rb") as fp:
+            return serialization.msgpack_restore(fp.read())
+    import torch
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = payload.get("state_dict", payload) \
+        if isinstance(payload, dict) else payload.state_dict()
+    return convert_torchvision_state_dict(state_dict, variables,
+                                          verbose=verbose)

@@ -80,12 +80,26 @@ class SampleResult(NamedTuple):
     pos_weights: jnp.ndarray
 
 
+def topk_maybe_approx(scores: jnp.ndarray, k: int, approx: bool):
+    """Exact or TPU-approximate top-k.  Exact top-k compiles to a full sort
+    on TPU; ``approx_max_k`` is a PartialReduce an order of magnitude
+    cheaper.  Only used where a ~90% recall of the true top-k is harmless
+    (random subsampling, oversized candidate pools) — callers must validate
+    gathered entries (approx may return non-candidates when true candidates
+    are fewer than k)."""
+    k = min(k, scores.shape[-1])
+    if approx and scores.shape[-1] > 4 * k:
+        return jax.lax.approx_max_k(scores, k, recall_target=0.9)
+    return jax.lax.top_k(scores, k)
+
+
 def balanced_sample(
     rng: jax.Array,
     labels: jnp.ndarray,
     candidate_valid: jnp.ndarray,
     batch: int,
     positive_fraction: float,
+    approx: bool = False,
 ) -> SampleResult:
     """Random balanced subsample, returned as weight vectors over candidates.
 
@@ -103,10 +117,10 @@ def balanced_sample(
     pos_scores = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), -1.0)
     neg_scores = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), -1.0)
 
-    _, pos_idx = jax.lax.top_k(pos_scores, min(max_pos, n))
-    pos_sel = jnp.arange(pos_idx.shape[0]) < num_pos
-    _, neg_idx = jax.lax.top_k(neg_scores, min(batch, n))
-    neg_sel = jnp.arange(neg_idx.shape[0]) < num_neg
+    pos_top, pos_idx = topk_maybe_approx(pos_scores, max_pos, approx)
+    pos_sel = (jnp.arange(pos_idx.shape[0]) < num_pos) & (pos_top > 0)
+    neg_top, neg_idx = topk_maybe_approx(neg_scores, batch, approx)
+    neg_sel = (jnp.arange(neg_idx.shape[0]) < num_neg) & (neg_top > 0)
 
     weights = jnp.zeros((n,), jnp.float32)
     weights = weights.at[pos_idx].max(pos_sel.astype(jnp.float32))
@@ -127,6 +141,7 @@ def balanced_sample_gather(
     candidate_valid: jnp.ndarray,
     batch: int,
     positive_fraction: float,
+    approx: bool = False,
 ) -> GatheredSample:
     """Like :func:`balanced_sample` but returns a *compacted* fixed-size index
     list (positives packed first) — what the RoI head needs so it only pools
@@ -144,10 +159,10 @@ def balanced_sample_gather(
     pos_scores = jnp.where(pos_mask, jax.random.uniform(kp, (n,)), -1.0)
     neg_scores = jnp.where(neg_mask, jax.random.uniform(kn, (n,)), -1.0)
 
-    _, pos_idx = jax.lax.top_k(pos_scores, min(max_pos, n))       # [P]
-    pos_sel = jnp.arange(pos_idx.shape[0]) < num_pos
-    _, neg_idx = jax.lax.top_k(neg_scores, min(batch, n))          # [B]
-    neg_sel = jnp.arange(neg_idx.shape[0]) < num_neg
+    pos_top, pos_idx = topk_maybe_approx(pos_scores, max_pos, approx)  # [P]
+    pos_sel = (jnp.arange(pos_idx.shape[0]) < num_pos) & (pos_top > 0)
+    neg_top, neg_idx = topk_maybe_approx(neg_scores, batch, approx)    # [B]
+    neg_sel = (jnp.arange(neg_idx.shape[0]) < num_neg) & (neg_top > 0)
 
     # Pack: P pos slots then B neg slots -> stable-sort by (invalid, order)
     # and keep the first `batch`.

@@ -53,14 +53,17 @@ def nms_keep(
     iou = box_iou(sboxes, sboxes)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    # suppress[i, j]: higher-scored valid j can suppress i.
+    # suppress[i, j]: higher-scored valid j can suppress i.  The matrix holds
+    # only 0/1 so bf16 matvecs on the MXU are exact (counts < 256 per step
+    # only need the comparison against 0.5 to be safe, and small integers are
+    # exactly representable in bf16 up to 256).
     suppress = (
         (iou > iou_threshold) & (col < row) & svalid[None, :] & svalid[:, None]
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
 
     def body(state):
         keep, _prev = state
-        hit = suppress @ keep.astype(jnp.float32)
+        hit = suppress @ keep.astype(jnp.bfloat16)
         new_keep = svalid & (hit < 0.5)
         return new_keep, keep
 
