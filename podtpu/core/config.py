@@ -89,6 +89,10 @@ class ModelConfig:
     # order-insensitive (random subsampling) or recall-tolerant (pre-NMS
     # candidate pools).
     approx_topk: bool = True
+    # Use the Pallas RoIAlign kernels (one strided window DMA per RoI +
+    # separable MXU interpolation) instead of XLA point gathers.  Only takes
+    # effect on the TPU backend; CPU always uses the XLA reference path.
+    use_pallas_roi_align: bool = True
 
     @property
     def num_levels(self) -> int:

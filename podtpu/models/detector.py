@@ -80,8 +80,7 @@ class FasterRCNN(nn.Module):
         proposals = rpn_lib.select_proposals(
             level_logits, level_deltas, level_anchors, cfg, train=train)
 
-        # Box-head levels (P2..P5) flattened once for RoIAlign.
-        flat, geom = flatten_levels(pyramid[:4])
+        box_levels = pyramid[:4]  # P2..P5 feed the RoI heads
         b = images.shape[0]
 
         if train:
@@ -99,8 +98,7 @@ class FasterRCNN(nn.Module):
             )(roi_rngs, proposals.boxes, proposals.valid,
               gt["boxes"], gt["labels"], gt["valid"])
 
-            pooled = jax.vmap(lambda f, r: rh.pool_rois(f, geom, r, cfg))(
-                flat, sampled.boxes)  # [B, S, 7, 7, C]
+            pooled = rh.pool_rois_batched(box_levels, sampled.boxes, cfg)
             s = pooled.shape[1]
             logits, deltas = self.box_head(
                 pooled.reshape(b * s, *pooled.shape[2:]))
@@ -115,12 +113,12 @@ class FasterRCNN(nn.Module):
                 "loss_box_reg": box_loss,
             }
             if cfg.with_mask and "masks" in (gt or {}):
-                losses["loss_mask"] = self._mask_losses(flat, geom, sampled, gt)
+                losses["loss_mask"] = self._mask_losses(box_levels, sampled,
+                                                        gt)
             return losses
 
         # ---- inference ----------------------------------------------------
-        pooled = jax.vmap(lambda f, r: rh.pool_rois(f, geom, r, cfg))(
-            flat, proposals.boxes)
+        pooled = rh.pool_rois_batched(box_levels, proposals.boxes, cfg)
         p = pooled.shape[1]
         logits, deltas = self.box_head(pooled.reshape(b * p, *pooled.shape[2:]))
         logits = logits.reshape(b, p, -1)
@@ -132,17 +130,15 @@ class FasterRCNN(nn.Module):
         out = rh.Detections(boxes=det_boxes, scores=det_scores,
                             labels=det_labels, valid=det_valid)
         if cfg.with_mask:
-            masks = self._predict_masks(flat, geom, out)
+            masks = self._predict_masks(box_levels, out)
             return out, masks
         return out
 
-    def _mask_losses(self, flat, geom, sampled, gt):
+    def _mask_losses(self, box_levels, sampled, gt):
         cfg = self.cfg
         b, s = sampled.boxes.shape[:2]
-        pooled = jax.vmap(
-            lambda f, r: rh.pool_rois(f, geom, r, cfg,
+        pooled = rh.pool_rois_batched(box_levels, sampled.boxes, cfg,
                                       pool_size=cfg.mask_pool_size)
-        )(flat, sampled.boxes)
         mask_logits = self.mask_head(pooled.reshape(b * s, *pooled.shape[2:]))
         mask_logits = mask_logits.reshape(b, s, *mask_logits.shape[1:])
 
@@ -160,13 +156,11 @@ class FasterRCNN(nn.Module):
         losses = jax.vmap(per_image)(mask_logits, sampled, gm)
         return losses.mean()
 
-    def _predict_masks(self, flat, geom, det: rh.Detections):
+    def _predict_masks(self, box_levels, det: rh.Detections):
         cfg = self.cfg
         b = det.boxes.shape[0]
-        pooled = jax.vmap(
-            lambda f, r: rh.pool_rois(f, geom, r, cfg,
+        pooled = rh.pool_rois_batched(box_levels, det.boxes, cfg,
                                       pool_size=cfg.mask_pool_size)
-        )(flat, det.boxes)
         d = pooled.shape[1]
         ml = self.mask_head(pooled.reshape(b * d, *pooled.shape[2:]))
         ml = ml.reshape(b, d, *ml.shape[1:])  # [B, D, M, M, C]

@@ -197,7 +197,7 @@ def pool_rois(
     cfg: ModelConfig,
     pool_size: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Multi-level RoIAlign over the box-head levels (P2..P5)."""
+    """Multi-level RoIAlign over the box-head levels (P2..P5), one image."""
     return multilevel_roi_align(
         flat_feats, geom, rois,
         strides=cfg.strides[:4],
@@ -206,6 +206,40 @@ def pool_rois(
         canonical_scale=cfg.roi_canonical_scale,
         canonical_level=cfg.roi_canonical_level,
     )
+
+
+def pool_rois_batched(
+    pyramid: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    cfg: ModelConfig,
+    pool_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Batched multi-level RoIAlign: Pallas kernel on TPU, XLA elsewhere.
+
+    Args:
+      pyramid: P2..P5 level maps ``[B, Hl, Wl, C]``.
+      rois: ``[B, K, 4]``.
+    Returns ``[B, K, P, P, C]``.
+    """
+    import jax as _jax
+
+    size = pool_size or cfg.roi_pool_size
+    if cfg.use_pallas_roi_align and _jax.default_backend() == "tpu":
+        from podtpu.ops.pallas.roi_align_kernel import batched_roi_align_pallas
+
+        return batched_roi_align_pallas(
+            tuple(pyramid[:4]), rois, tuple(cfg.strides[:4]),
+            output_size=size,
+            sampling_ratio=cfg.roi_sampling_ratio,
+            canonical_scale=cfg.roi_canonical_scale,
+            canonical_level=cfg.roi_canonical_level,
+        )
+    from podtpu.ops.roi_align import flatten_levels
+
+    flat, geom = flatten_levels(list(pyramid[:4]))
+    return jax.vmap(
+        lambda f, r: pool_rois(f, geom, r, cfg, pool_size=size)
+    )(flat, rois)
 
 
 def mask_loss(
