@@ -86,7 +86,10 @@ class DetectionDataset:
         canvas = np.zeros((ch, cw, 3), np.float32)
         canvas[: resized.shape[0], : resized.shape[1]] = \
             resized.astype(np.float32) / 255.0
+        return self._finish(meta, canvas, scale, (orig_h, orig_w), i)
 
+    def _finish(self, meta, canvas, scale, original_size, i) -> Sample:
+        ch, cw = self.image_size
         g = self.max_gt
         boxes = np.zeros((g, 4), np.float32)
         labels = np.zeros((g,), np.int32)
@@ -100,7 +103,25 @@ class DetectionDataset:
         np.clip(boxes[:, 0::2], 0, cw, out=boxes[:, 0::2])
         np.clip(boxes[:, 1::2], 0, ch, out=boxes[:, 1::2])
         return Sample(image=canvas, boxes=boxes, labels=labels, valid=valid,
-                      scale=scale, original_size=(orig_h, orig_w), index=i)
+                      scale=scale, original_size=tuple(original_size),
+                      index=i)
+
+    def load_batch(self, indices) -> List[Sample]:
+        """Batch load; uses the native C++ threaded decode pipeline when
+        available (podtpu/core/native.py), falling back to per-sample PIL."""
+        from podtpu.core import native
+
+        metas = [self.images[int(i)] for i in indices]
+        paths = [m.full_path for m in metas]
+        res = native.decode_resize_batch(paths, self.image_size)
+        if res is None:
+            return [self.load(int(i)) for i in indices]
+        canvases, scales, orig_hw = res
+        return [
+            self._finish(meta, canvases[j], float(scales[j]),
+                         (int(orig_hw[j, 0]), int(orig_hw[j, 1])), int(idx))
+            for j, (meta, idx) in enumerate(zip(metas, indices))
+        ]
 
 
 def train_test_split(

@@ -86,13 +86,26 @@ class Loader:
         stop = threading.Event()
 
         def producer():
+            # The dataset's batch loader dispatches to the native C++
+            # threaded decoder when available; the surrounding pool overlaps
+            # successive batches.
             with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = []
                 for b in range(num_batches):
+                    idx, bvalid = batch_indices(b)
+                    futures.append(
+                        (pool.submit(self.dataset.load_batch, idx), bvalid))
+                    # Bound the number of in-flight batch jobs.
+                    while len(futures) > max(2, self.prefetch):
+                        fut, bv = futures.pop(0)
+                        out_q.put((collate(fut.result()), bv))
+                        if stop.is_set():
+                            out_q.put(None)
+                            return
+                for fut, bv in futures:
                     if stop.is_set():
                         break
-                    idx, bvalid = batch_indices(b)
-                    samples = list(pool.map(self.dataset.load, idx))
-                    out_q.put((collate(samples), bvalid))
+                    out_q.put((collate(fut.result()), bv))
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

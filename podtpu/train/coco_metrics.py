@@ -131,6 +131,16 @@ class COCOEvaluator:
         iou = iou[:, g_order]
         g_ig = g_ig[g_order]
 
+        # Native C++ matcher (pycocotools C-extension equivalent) when built.
+        if D and G:
+            from podtpu.core import native
+            res = native.coco_match(iou, g_ig, d_area, IOU_THRS, rng)
+            if res is not None:
+                dtm_n, dtig_n = res
+                return _ImageEval(dt_scores=d_score, dt_matched=dtm_n,
+                                  dt_ignored=dtig_n,
+                                  num_gt=int((~g_ig).sum()))
+
         dtm = np.zeros((T, D), bool)
         dtig = np.zeros((T, D), bool)
         for ti, thr in enumerate(IOU_THRS):
