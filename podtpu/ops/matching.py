@@ -73,6 +73,58 @@ def match(
     return MatchResult(matched_idx=matched_idx, labels=labels)
 
 
+def match_streamed(
+    candidates: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    high_thresh: float,
+    low_thresh: float,
+    allow_low_quality: bool = False,
+) -> MatchResult:
+    """Same semantics as :func:`match`, computed as a `lax.scan` over gts.
+
+    For large candidate sets (the RPN's ~250k anchors) this never
+    materializes the ``[N, M]`` IoU matrix — each scan step is a handful of
+    ``[N]`` vector ops — which is substantially faster on TPU than relying
+    on the fusion of a quarter-million-row broadcast.  Ties keep the first
+    gt (argmax convention), matching :func:`match`.
+    """
+    from podtpu.ops.boxes import box_area
+
+    n = candidates.shape[0]
+    cand_area = box_area(candidates)
+
+    def step(carry, g):
+        best_val, best_idx, lq, idx = carry
+        box, valid = g
+        ix1 = jnp.maximum(candidates[:, 0], box[0])
+        iy1 = jnp.maximum(candidates[:, 1], box[1])
+        ix2 = jnp.minimum(candidates[:, 2], box[2])
+        iy2 = jnp.minimum(candidates[:, 3], box[3])
+        inter = jnp.clip(ix2 - ix1, 0.0) * jnp.clip(iy2 - iy1, 0.0)
+        union = cand_area + (box[2] - box[0]) * (box[3] - box[1]) - inter
+        iou_g = jnp.where((union > 0) & valid, inter / union, -1.0)
+        upd = iou_g > best_val
+        best_val = jnp.where(upd, iou_g, best_val)
+        best_idx = jnp.where(upd, idx, best_idx)
+        if allow_low_quality:
+            gmax = jnp.max(iou_g)
+            lq = lq | (valid & (gmax > 0) & (iou_g == gmax))
+        return (best_val, best_idx, lq, idx + 1), None
+
+    init = (jnp.full((n,), -1.0), jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), bool), jnp.int32(0))
+    (best_val, best_idx, lq, _), _ = jax.lax.scan(
+        step, init, (gt_boxes, gt_valid))
+
+    labels = jnp.where(best_val >= high_thresh, 1,
+                       jnp.where(best_val >= low_thresh, -1, 0))
+    if allow_low_quality:
+        labels = jnp.where(lq, 1, labels)
+    labels = jnp.where(jnp.any(gt_valid), labels, 0)
+    return MatchResult(matched_idx=best_idx, labels=labels)
+
+
 class SampleResult(NamedTuple):
     # Weight 1.0 on sampled candidates (pos or neg), 0 elsewhere: [N].
     weights: jnp.ndarray

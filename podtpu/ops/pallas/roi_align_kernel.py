@@ -145,26 +145,51 @@ def _fwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
     def kernel(int_ref, f32_ref, *refs):
         level_refs = refs[:num_levels]
         out_ref = refs[num_levels]
-        window = refs[num_levels + 1]
-        sem = refs[num_levels + 2]
+        windows = refs[num_levels + 1]   # [2, win_h, win_w*C] double buffer
+        sems = refs[num_levels + 2]      # [2]
         b = pl.program_id(0)
         k = pl.program_id(1)
+        step = b * k_total + k
+        total = pl.num_programs(0) * k_total
+        slot = jax.lax.rem(step, 2)
+        next_slot = jax.lax.rem(step + 1, 2)
+
         # Scalar params are flat 1D SMEM arrays (2D+ SMEM operands get their
         # last dim padded to 128 lanes and blow the 1MB SMEM budget).
-        ib = (b * k_total + k) * 4
-        fb = (b * k_total + k) * 8
-        lvl = int_ref[ib + 0]
-        y0i = pl.multiple_of(int_ref[ib + 1], SUB_ALIGN)
-        x0c = pl.multiple_of(int_ref[ib + 2] * channels, 128)
-
-        for l in range(num_levels):
-            @pl.when(lvl == l)
-            def _():
+        def dma_for(idx, slot_idx):
+            """Window DMA descriptor for linear roi index ``idx``."""
+            ib = idx * 4
+            bb = idx // k_total
+            lvl_i = int_ref[ib + 0]
+            y0_i = pl.multiple_of(int_ref[ib + 1], SUB_ALIGN)
+            x0_c = pl.multiple_of(int_ref[ib + 2] * channels, 128)
+            return lvl_i, [
                 pltpu.make_async_copy(
-                    level_refs[l].at[b, pl.ds(y0i, win_h),
-                                     pl.ds(x0c, win_w * channels)],
-                    window, sem).start()
+                    level_refs[l].at[bb, pl.ds(y0_i, win_h),
+                                     pl.ds(x0_c, win_w * channels)],
+                    windows.at[slot_idx], sems.at[slot_idx])
+                for l in range(num_levels)
+            ]
 
+        # Warm-up: the first grid step fetches its own window.
+        @pl.when(step == 0)
+        def _():
+            lvl0, copies = dma_for(step, slot)
+            for l in range(num_levels):
+                @pl.when(lvl0 == l)
+                def _():
+                    copies[l].start()
+
+        # Prefetch the NEXT roi's window while we compute this one.
+        @pl.when(step + 1 < total)
+        def _():
+            lvl_n, copies = dma_for(step + 1, next_slot)
+            for l in range(num_levels):
+                @pl.when(lvl_n == l)
+                def _():
+                    copies[l].start()
+
+        fb = step * 8
         y1 = f32_ref[fb + 0]
         x1 = f32_ref[fb + 1]
         bin_h = f32_ref[fb + 2]
@@ -176,15 +201,13 @@ def _fwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
         ay = _weight_matrix(y1, bin_h, y0, hf, s, ratio, win_h)
         ax = _weight_matrix(x1, bin_w, x0, wf, s, ratio, win_w)
 
+        lvl, copies = dma_for(step, slot)
         for l in range(num_levels):
             @pl.when(lvl == l)
             def _():
-                pltpu.make_async_copy(
-                    level_refs[l].at[b, pl.ds(y0i, win_h),
-                                     pl.ds(x0c, win_w * channels)],
-                    window, sem).wait()
+                copies[l].wait()
 
-        w = window[...].astype(jnp.float32)                # [win_h, win_w*C]
+        w = windows[slot].astype(jnp.float32)              # [win_h, win_w*C]
         t1 = jnp.dot(ay, w, preferred_element_type=jnp.float32)  # [S,win_w*C]
         t1 = t1.reshape(s, win_w, channels)
         t1 = jnp.swapaxes(t1, 0, 1).reshape(win_w, s * channels)
@@ -293,8 +316,9 @@ def _fwd_call(padded_levels, int_params, f32_params, output_size,
                 lambda i, j, *_: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((win_h, win_w * channels), padded_levels[0].dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, win_h, win_w * channels),
+                           padded_levels[0].dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
