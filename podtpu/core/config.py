@@ -133,8 +133,11 @@ class DataConfig:
 
     num_workers: int = 4
     prefetch: int = 2
-    # Augmentations (reference `miso/object_detection/transforms.py:4-16`):
-    # hflip(0.5) + vflip(0.5) + photometric distort at train time.
+    # Augmentation policy (see podtpu/data/presets.py): 'miso' is the
+    # reference pipeline's default (hflip+vflip+photometric distort,
+    # `miso/object_detection/transforms.py:4-16`); also 'hflip', 'lsj',
+    # 'multiscale', 'ssd', 'ssdlite', 'none'.
+    aug_policy: str = "miso"
     hflip_prob: float = 0.5
     vflip_prob: float = 0.5
     photometric_distort: bool = True

@@ -1,0 +1,129 @@
+"""Augmentation policy presets.
+
+Counterpart of the reference's ``DetectionPresetTrain``
+(`miso/object_detection/engine/presets.py:5-57`): named policies composing
+the device-side transforms in :mod:`podtpu.ops.image_ops`.
+
+* ``miso``   — the reference pipeline's default (hflip + vflip +
+  photometric distort; `miso/object_detection/transforms.py:4-16`);
+* ``hflip``  — horizontal flip only (presets.py:8-12);
+* ``lsj``    — large-scale jitter 0.1-2.0 + flips (presets.py:13-25);
+* ``multiscale`` — random rescale 0.5-1.25 + flips (in place of the
+  reference's RandomShortestSize list, which is moot on a static canvas);
+* ``ssd``    — photometric distort + zoom-out + IoU crop + hflip
+  (presets.py:26-35);
+* ``ssdlite``— IoU crop + hflip (presets.py:36-42);
+* ``none``   — evaluation (no augmentation).
+
+Every policy is a pure function ``(rng, image, boxes, valid) ->
+(image, boxes, valid)`` on the fixed canvas; it runs inside the jitted train
+step and vmaps over the batch.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from podtpu.ops import image_ops as T
+
+AugmentFn = Callable
+
+
+def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5):
+    h, w = image.shape[0], image.shape[1]
+    k1, k2 = jax.random.split(rng)
+    fimg, fbox = T.hflip(image, boxes, float(w))
+    do = jax.random.uniform(k1) < hflip_prob
+    image = jnp.where(do, fimg, image)
+    boxes = jnp.where(do, fbox, boxes)
+    fimg, fbox = T.vflip(image, boxes, float(h))
+    do = jax.random.uniform(k2) < vflip_prob
+    image = jnp.where(do, fimg, image)
+    boxes = jnp.where(do, fbox, boxes)
+    return image, boxes
+
+
+def miso_policy(rng, image, boxes, valid, distort=True):
+    k1, k2 = jax.random.split(rng)
+    image, boxes = _flips(k1, image, boxes)
+    if distort:
+        image = T.photometric_distort(k2, image)
+    return image, boxes, valid
+
+
+def hflip_policy(rng, image, boxes, valid):
+    image, boxes = _flips(rng, image, boxes, vflip_prob=0.0)
+    return image, boxes, valid
+
+
+def lsj_policy(rng, image, boxes, valid):
+    k1, k2 = jax.random.split(rng)
+    image, boxes = T.scale_jitter(k1, image, boxes, (0.1, 2.0))
+    image, boxes = _flips(k2, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid)
+
+
+def multiscale_policy(rng, image, boxes, valid):
+    k1, k2 = jax.random.split(rng)
+    image, boxes = T.scale_jitter(k1, image, boxes, (0.5, 1.25))
+    image, boxes = _flips(k2, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid)
+
+
+def ssd_policy(rng, image, boxes, valid):
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    image = T.photometric_distort(k1, image)
+    do_zoom = jax.random.uniform(k2) < 0.5
+    zimg, zbox = T.zoom_out(k3, image, boxes)
+    image = jnp.where(do_zoom, zimg, image)
+    boxes = jnp.where(do_zoom, zbox, boxes)
+    image, boxes, valid = T.iou_crop(k4, image, boxes, valid)
+    image, boxes = _flips(k5, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid)
+
+
+def ssdlite_policy(rng, image, boxes, valid):
+    k1, k2 = jax.random.split(rng)
+    image, boxes, valid = T.iou_crop(k1, image, boxes, valid)
+    image, boxes = _flips(k2, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid)
+
+
+def none_policy(rng, image, boxes, valid):
+    return image, boxes, valid
+
+
+def _revalidate(boxes, valid):
+    """Drop boxes that degenerate after geometric transforms."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return valid & (w > 1.0) & (h > 1.0)
+
+
+POLICIES = {
+    "miso": miso_policy,
+    "hflip": hflip_policy,
+    "lsj": lsj_policy,
+    "multiscale": multiscale_policy,
+    "ssd": ssd_policy,
+    "ssdlite": ssdlite_policy,
+    "none": none_policy,
+}
+
+
+def get_policy(name: str) -> AugmentFn:
+    if name not in POLICIES:
+        raise ValueError(
+            f"Unknown augmentation policy {name!r}; "
+            f"choose from {sorted(POLICIES)}")
+    return POLICIES[name]
+
+
+def augment_batch_policy(policy: AugmentFn, rng, images, boxes, valid,
+                         **kw):
+    """vmap a per-image policy over the batch."""
+    rngs = jax.random.split(rng, images.shape[0])
+    return jax.vmap(lambda r, i, b, v: policy(r, i, b, v, **kw))(
+        rngs, images, boxes, valid)

@@ -79,6 +79,12 @@ class FasterRCNN(nn.Module):
 
         proposals = rpn_lib.select_proposals(
             level_logits, level_deltas, level_anchors, cfg, train=train)
+        # Proposals are detached (torchvision semantics: no gradient flows
+        # from the RoI heads through box coordinates into the RPN).
+        proposals = rpn_lib.Proposals(
+            boxes=jax.lax.stop_gradient(proposals.boxes),
+            scores=jax.lax.stop_gradient(proposals.scores),
+            valid=proposals.valid)
 
         box_levels = pyramid[:4]  # P2..P5 feed the RoI heads
         b = images.shape[0]

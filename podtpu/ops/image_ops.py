@@ -127,6 +127,116 @@ def photometric_distort(rng: jax.Array, image: jnp.ndarray,
     return jnp.clip(img, 0.0, 1.0)
 
 
+def random_transpose(image: jnp.ndarray, boxes: jnp.ndarray):
+    """Transpose H/W (square canvas) + swap box coordinates.
+
+    The reference ships this transform (engine/transforms.py:61-72; its use
+    in the miso pipeline is commented out, transforms.py:11).
+    """
+    timg = jnp.swapaxes(image, 0, 1)
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    return timg, jnp.stack([y1, x1, y2, x2], axis=-1)
+
+
+def scale_and_place(image: jnp.ndarray, boxes: jnp.ndarray,
+                    scale, tx, ty) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resample one HWC image by ``scale`` with translation (tx, ty) px on
+    the same canvas (dynamic scale, static shapes) and transform boxes."""
+    h, w = image.shape[0], image.shape[1]
+    out = jax.image.scale_and_translate(
+        image, (h, w, 3), (0, 1),
+        jnp.stack([scale, scale]), jnp.stack([ty, tx]),
+        method="linear", antialias=False)
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    nboxes = jnp.stack([x1 * scale + tx, y1 * scale + ty,
+                        x2 * scale + tx, y2 * scale + ty], axis=-1)
+    return out, nboxes
+
+
+def scale_jitter(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
+                 scale_range: Tuple[float, float] = (0.1, 2.0)):
+    """Large-scale jitter (the reference's ScaleJitter,
+    engine/transforms.py:311-361): random global rescale on the fixed
+    canvas; boxes follow and clip."""
+    h, w = image.shape[0], image.shape[1]
+    s = jax.random.uniform(rng, (), minval=scale_range[0],
+                           maxval=scale_range[1])
+    img, bxs = scale_and_place(image, boxes, s, 0.0, 0.0)
+    x1 = jnp.clip(bxs[..., 0], 0, w)
+    y1 = jnp.clip(bxs[..., 1], 0, h)
+    x2 = jnp.clip(bxs[..., 2], 0, w)
+    y2 = jnp.clip(bxs[..., 3], 0, h)
+    return img, jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def zoom_out(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
+             side_range: Tuple[float, float] = (1.0, 4.0)):
+    """Random zoom-out (the reference's RandomZoomOut,
+    engine/transforms.py:188-248): shrink the content by 1/r and place it at
+    a random offset on the canvas (zero fill)."""
+    h, w = image.shape[0], image.shape[1]
+    kr, kx, ky = jax.random.split(rng, 3)
+    r = jax.random.uniform(kr, (), minval=side_range[0],
+                           maxval=side_range[1])
+    s = 1.0 / r
+    tx = jax.random.uniform(kx, ()) * (w - w * s)
+    ty = jax.random.uniform(ky, ()) * (h - h * s)
+    return scale_and_place(image, boxes, s, tx, ty)
+
+
+def iou_crop(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
+             valid: jnp.ndarray, trials: int = 20):
+    """SSD-style jaccard-constrained random crop (the reference's
+    RandomIoUCrop, engine/transforms.py:101-185), vectorised: sample
+    ``trials`` candidate crops, keep the first whose IoU with some gt box
+    meets a randomly drawn threshold and that contains at least one box
+    centre; fall back to identity.  The crop is resampled back onto the
+    fixed canvas; boxes whose centres fall outside are invalidated.
+    """
+    h, w = float(image.shape[0]), float(image.shape[1])
+    k0, k1, k2, k3, k4 = jax.random.split(rng, 5)
+    options = jnp.asarray([0.0, 0.1, 0.3, 0.5, 0.7, 0.9, -1.0])
+    min_iou = options[jax.random.randint(k0, (), 0, len(options))]
+
+    cw = jax.random.uniform(k1, (trials,), minval=0.3, maxval=1.0) * w
+    chh = jax.random.uniform(k2, (trials,), minval=0.3, maxval=1.0) * h
+    ar = cw / chh
+    ar_ok = (ar >= 0.5) & (ar <= 2.0)
+    cx = jax.random.uniform(k3, (trials,)) * (w - cw)
+    cy = jax.random.uniform(k4, (trials,)) * (h - chh)
+    crops = jnp.stack([cx, cy, cx + cw, cy + chh], axis=-1)  # [T, 4]
+
+    from podtpu.ops.boxes import box_iou
+    ious = box_iou(crops, boxes)                              # [T, G]
+    ious = jnp.where(valid[None, :], ious, -1.0)
+    centres_x = (boxes[:, 0] + boxes[:, 2]) / 2
+    centres_y = (boxes[:, 1] + boxes[:, 3]) / 2
+    inside = ((centres_x[None, :] >= crops[:, 0:1])
+              & (centres_x[None, :] < crops[:, 2:3])
+              & (centres_y[None, :] >= crops[:, 1:2])
+              & (centres_y[None, :] < crops[:, 3:4])
+              & valid[None, :])                                # [T, G]
+    ok = ar_ok & jnp.any(inside, axis=1) & \
+        (jnp.max(ious, axis=1) >= min_iou)
+    first = jnp.argmax(ok)
+    do_crop = jnp.any(ok) & (min_iou >= 0.0)
+
+    crop = crops[first]
+    scale = jnp.where(do_crop,
+                      jnp.minimum(h / (crop[3] - crop[1]),
+                                  w / (crop[2] - crop[0])), 1.0)
+    tx = jnp.where(do_crop, -crop[0] * scale, 0.0)
+    ty = jnp.where(do_crop, -crop[1] * scale, 0.0)
+    img, bxs = scale_and_place(image, boxes, scale, tx, ty)
+    x1 = jnp.clip(bxs[..., 0], 0, w)
+    y1 = jnp.clip(bxs[..., 1], 0, h)
+    x2 = jnp.clip(bxs[..., 2], 0, w)
+    y2 = jnp.clip(bxs[..., 3], 0, h)
+    nboxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    keep = jnp.where(do_crop, inside[first], valid)
+    return img, nboxes, keep & valid
+
+
 def augment_batch(
     rng: jax.Array,
     images: jnp.ndarray,       # [B, H, W, 3] float in [0,1]

@@ -222,33 +222,85 @@ def _fwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
 
 def _bwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
                 k_total):
+    """Backward accumulation, parity-pipelined.
+
+    Even/odd grid steps accumulate into two SEPARATE buffer sets (summed by
+    the caller), so step i's window read never races step i-1's write —
+    both DMAs overlap the neighbouring steps' compute, and the only
+    synchronisation is waiting the write from two steps ago.
+    """
     s = out_size * ratio
     inv = 1.0 / (ratio * ratio)
 
     def kernel(int_ref, f32_ref, *refs):
-        g_ref = refs[num_levels]          # input: upstream grad block
-        grad_refs = refs[num_levels + 1: 2 * num_levels + 1]  # outputs
-        window = refs[2 * num_levels + 1]
-        acc = refs[2 * num_levels + 2]
-        sem = refs[2 * num_levels + 3]
+        # refs: [0, 2L) aliased grad inputs (unused; outputs below are the
+        # same buffers), [2L] upstream grad block, [2L+1, 4L+1) grad outputs
+        # (two parity sets), then scratch.
+        g_ref = refs[2 * num_levels]
+        grad_refs = refs[2 * num_levels + 1: 4 * num_levels + 1]
+        windows = refs[4 * num_levels + 1]                  # [2, wh, ww*C]
+        accs = refs[4 * num_levels + 2]                     # [2, wh, ww*C]
+        read_sems = refs[4 * num_levels + 3]                # [2]
+        write_sems = refs[4 * num_levels + 4]               # [2]
         b = pl.program_id(0)
         k = pl.program_id(1)
-        ib = (b * k_total + k) * 4
-        fb = (b * k_total + k) * 8
-        lvl = int_ref[ib + 0]
-        y0i = pl.multiple_of(int_ref[ib + 1], SUB_ALIGN)
-        x0c = pl.multiple_of(int_ref[ib + 2] * channels, 128)
+        step = b * k_total + k
+        total = pl.num_programs(0) * k_total
+        slot = jax.lax.rem(step, 2)
+        nslot = jax.lax.rem(step + 1, 2)
 
-        # Read-modify-write: fetch the accumulated window (grid steps run
-        # sequentially on the core, so this is race-free).
-        for l in range(num_levels):
-            @pl.when(lvl == l)
-            def _():
-                pltpu.make_async_copy(
-                    grad_refs[l].at[b, pl.ds(y0i, win_h),
-                                    pl.ds(x0c, win_w * channels)],
-                    window, sem).start()
+        def read_dma(idx, slot_idx):
+            ib = idx * 4
+            bb = idx // k_total
+            lvl_i = int_ref[ib + 0]
+            y0_i = pl.multiple_of(int_ref[ib + 1], SUB_ALIGN)
+            x0_c = pl.multiple_of(int_ref[ib + 2] * channels, 128)
+            pset = jax.lax.rem(idx, 2)
+            copies = []
+            for l in range(num_levels):
+                for par in range(2):
+                    copies.append(
+                        ((lvl_i == l) & (pset == par),
+                         pltpu.make_async_copy(
+                             grad_refs[par * num_levels + l].at[
+                                 bb, pl.ds(y0_i, win_h),
+                                 pl.ds(x0_c, win_w * channels)],
+                             windows.at[slot_idx],
+                             read_sems.at[slot_idx])))
+            return copies
 
+        def write_dma(idx, slot_idx):
+            ib = idx * 4
+            bb = idx // k_total
+            lvl_i = int_ref[ib + 0]
+            y0_i = pl.multiple_of(int_ref[ib + 1], SUB_ALIGN)
+            x0_c = pl.multiple_of(int_ref[ib + 2] * channels, 128)
+            pset = jax.lax.rem(idx, 2)
+            copies = []
+            for l in range(num_levels):
+                for par in range(2):
+                    copies.append(
+                        ((lvl_i == l) & (pset == par),
+                         pltpu.make_async_copy(
+                             accs.at[slot_idx],
+                             grad_refs[par * num_levels + l].at[
+                                 bb, pl.ds(y0_i, win_h),
+                                 pl.ds(x0_c, win_w * channels)],
+                             write_sems.at[slot_idx])))
+            return copies
+
+        def run(copies, op):
+            for cond, copy in copies:
+                @pl.when(cond)
+                def _():
+                    getattr(copy, op)()
+
+        # Step 0 fetches its own window; later steps were prefetched.
+        @pl.when(step == 0)
+        def _():
+            run(read_dma(step, slot), "start")
+
+        fb = step * 8
         y1 = f32_ref[fb + 0]
         x1 = f32_ref[fb + 1]
         bin_h = f32_ref[fb + 2]
@@ -272,27 +324,28 @@ def _bwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
         dw = jnp.dot(ax.T, du, preferred_element_type=jnp.float32)
         dw = jnp.swapaxes(dw.reshape(win_w, win_h, channels), 0, 1)
 
-        for l in range(num_levels):
-            @pl.when(lvl == l)
-            def _():
-                pltpu.make_async_copy(
-                    grad_refs[l].at[b, pl.ds(y0i, win_h),
-                                    pl.ds(x0c, win_w * channels)],
-                    window, sem).wait()
+        run(read_dma(step, slot), "wait")
 
-        acc[...] = (window[...].astype(jnp.float32)
-                    + dw.reshape(win_h, win_w * channels)).astype(acc.dtype)
+        # Drain the write from the previous step: it targeted the OTHER
+        # parity set, which the upcoming prefetch reads from.
+        @pl.when(step >= 1)
+        def _():
+            run(write_dma(step - 1, nslot), "wait")
 
-        for l in range(num_levels):
-            @pl.when(lvl == l)
-            def _():
-                copy = pltpu.make_async_copy(
-                    acc,
-                    grad_refs[l].at[b, pl.ds(y0i, win_h),
-                                    pl.ds(x0c, win_w * channels)],
-                    sem)
-                copy.start()
-                copy.wait()
+        accs[slot] = (windows[slot]
+                      + dw.reshape(win_h, win_w * channels)).astype(
+                          accs.dtype)
+        run(write_dma(step, slot), "start")
+
+        # Prefetch the next step's window (other parity set: no outstanding
+        # writes there after the drain above).
+        @pl.when(step + 1 < total)
+        def _():
+            run(read_dma(step + 1, nslot), "start")
+
+        @pl.when(step + 1 >= total)
+        def _():
+            run(write_dma(step, slot), "wait")
 
     return kernel
 
@@ -329,10 +382,11 @@ def _fwd_call(padded_levels, int_params, f32_params, output_size,
 
 def _bwd_call(grad_inits, g, int_params, f32_params, output_size,
               sampling_ratio, win, channels):
-    """grad_inits: zero-initialised f32 level buffers [B, Hp, Wp*C] that the
-    kernel accumulates into (aliased in/out)."""
+    """grad_inits: 2*num_levels zero-initialised f32 level buffers
+    [B, Hp, Wp*C] (two parity sets) the kernel accumulates into (aliased
+    in/out); the caller sums the sets."""
     b, k = int_params.shape[:2]
-    num_levels = len(grad_inits)
+    num_levels = len(grad_inits) // 2
     win_h, win_w = window_dims(win, channels)
     kernel = _bwd_kernel(output_size, sampling_ratio, win_h, win_w, channels,
                          num_levels, k)
@@ -344,20 +398,23 @@ def _bwd_call(grad_inits, g, int_params, f32_params, output_size,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, k),
-            in_specs=([pl.BlockSpec(memory_space=pl.ANY)] * num_levels
+            in_specs=([pl.BlockSpec(memory_space=pl.ANY)]
+                      * (2 * num_levels)
                       + [pl.BlockSpec(
                           (1, 1, output_size, output_size, channels),
                           lambda i, j, *_: (i, j, 0, 0, 0),
                           memory_space=pltpu.VMEM)]),
-            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            * (2 * num_levels),
             scratch_shapes=[
-                pltpu.VMEM((win_h, win_w * channels), jnp.float32),
-                pltpu.VMEM((win_h, win_w * channels), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, win_h, win_w * channels), jnp.float32),
+                pltpu.VMEM((2, win_h, win_w * channels), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=out_shapes,
-        input_output_aliases={2 + i: i for i in range(num_levels)},
+        input_output_aliases={2 + i: i for i in range(2 * num_levels)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(int_params.reshape(-1), f32_params.reshape(-1), *grad_inits, g)
 
@@ -413,11 +470,15 @@ def _vjp_bwd(strides, output_size, sampling_ratio, aligned, canonical_scale,
         wp = max(w, win) + lane_align_cells(c)
         grad_inits.append(jnp.zeros((b, hp, wp * c), jnp.float32))
         crops.append((h, w, hp, wp))
+    # Two parity accumulation sets (see _bwd_kernel); summed below.
+    grad_inits = grad_inits + [jnp.zeros_like(gi) for gi in grad_inits]
     grads = _bwd_call(grad_inits, g.astype(jnp.float32), int_params,
                       f32_params, output_size, sampling_ratio, win, channels)
+    n = len(features)
     out = []
-    for gbuf, f, (h, w, hp, wp) in zip(grads, features, crops):
+    for i, (f, (h, w, hp, wp)) in enumerate(zip(features, crops)):
         b, c = f.shape[0], f.shape[-1]
+        gbuf = grads[i] + grads[n + i]
         gb = gbuf.reshape(b, hp, wp, c)[:, :h, :w, :]
         out.append(gb.astype(f.dtype))
     return tuple(out), jnp.zeros_like(boxes)

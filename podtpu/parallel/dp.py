@@ -56,18 +56,22 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
     batch_spec = P(axis_name)
     replicated = P()
 
+    from podtpu.data.presets import augment_batch_policy, get_policy
+
+    policy = get_policy(cfg.data.aug_policy)
+    policy_kw = {"distort": cfg.data.photometric_distort} \
+        if cfg.data.aug_policy == "miso" else {}
+
     def per_shard(state: TrainState, batch: Dict, rng: jax.Array, lr):
         # Distinct augmentation / sampler streams per shard.
         shard_idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, shard_idx)
         rng_aug, rng_model = jax.random.split(rng)
-        images, boxes = augment_batch(
-            rng_aug, batch["image"], batch["boxes"],
-            hflip_prob=cfg.data.hflip_prob,
-            vflip_prob=cfg.data.vflip_prob,
-            distort=cfg.data.photometric_distort)
+        images, boxes, valid = augment_batch_policy(
+            policy, rng_aug, batch["image"], batch["boxes"], batch["valid"],
+            **policy_kw)
         gt = {"boxes": boxes, "labels": batch["labels"],
-              "valid": batch["valid"]}
+              "valid": valid}
         if "masks" in batch:
             gt["masks"] = batch["masks"]
 

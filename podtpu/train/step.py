@@ -42,16 +42,20 @@ def create_train_state(variables, tx) -> TrainState:
 def make_train_step(model: FasterRCNN, tx, cfg: Config):
     """Build the jitted train step: (state, batch, rng, lr) -> (state, metrics)."""
 
+    from podtpu.data.presets import augment_batch_policy, get_policy
+
+    policy = get_policy(cfg.data.aug_policy)
+    policy_kw = {"distort": cfg.data.photometric_distort} \
+        if cfg.data.aug_policy == "miso" else {}
+
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
                 lr: jnp.ndarray):
         rng_aug, rng_model = jax.random.split(rng)
-        images, boxes = augment_batch(
-            rng_aug, batch["image"], batch["boxes"],
-            hflip_prob=cfg.data.hflip_prob,
-            vflip_prob=cfg.data.vflip_prob,
-            distort=cfg.data.photometric_distort)
+        images, boxes, valid = augment_batch_policy(
+            policy, rng_aug, batch["image"], batch["boxes"], batch["valid"],
+            **policy_kw)
         gt = {"boxes": boxes, "labels": batch["labels"],
-              "valid": batch["valid"]}
+              "valid": valid}
         if "masks" in batch:
             gt["masks"] = batch["masks"]
 
