@@ -146,13 +146,32 @@ class CvatTask:
             print("=" * 80)
         return self
 
-    def _get(self, path: str) -> dict:
+    def _get(self, path: str, retries: int = 3,
+             backoff: float = 1.0) -> dict:
+        """GET with retry/backoff (the reference had no HTTP failure
+        handling at all — SURVEY.md §5 failure detection)."""
         url = f"{self.server}/{self.api}/{path}"
         if self.debug:
             print(f"GET {url}")
-        resp = self.http.get(url, auth=self.auth)
-        resp.raise_for_status()
-        return resp.json()
+        last_exc = None
+        for attempt in range(retries):
+            try:
+                resp = self.http.get(url, auth=self.auth)
+                if resp.status_code >= 500:
+                    raise requests.HTTPError(
+                        f"server error {resp.status_code}", response=resp)
+                resp.raise_for_status()
+                return resp.json()
+            except (requests.ConnectionError, requests.Timeout,
+                    requests.HTTPError) as exc:
+                status = getattr(getattr(exc, "response", None),
+                                 "status_code", None)
+                if status is not None and 400 <= status < 500:
+                    raise  # client errors don't retry
+                last_exc = exc
+                if attempt + 1 < retries:
+                    sleep(backoff * (2 ** attempt))
+        raise last_exc
 
     def _get_metadata(self) -> None:
         data = self._get(f"tasks/{self.task_id}")

@@ -146,6 +146,10 @@ def train(project: Project,
 
     # -- epoch loop (reference training.py:120-127) --------------------------
     print("=" * 80)
+    # Optional profiler capture of a few steady-state steps (set
+    # PODTPU_TRACE_DIR; SURVEY.md §5 — the reference has no tracing).
+    trace_dir = os.environ.get("PODTPU_TRACE_DIR")
+    tracing = False
     epoch = start_epoch
     stats = None
     for epoch in range(start_epoch, max_epochs):
@@ -157,9 +161,16 @@ def train(project: Project,
         for it, (batch, _bvalid) in enumerate(
                 logger.log_every(loader_train, cfg.train.log_every,
                                  header=f"Epoch: [{epoch}]", total=iters)):
+            if trace_dir and epoch == start_epoch and it == min(3, iters - 1):
+                jax.profiler.start_trace(trace_dir)
+                tracing = True
             lr = alrs.lr * warmup_factor(cfg, epoch, it, iters)
             state, metrics = train_step(state, batch, step_rngs[it],
                                         np.float32(lr))
+            if tracing and it >= min(3, iters - 1) + 3:
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"[podtpu] profiler trace written to {trace_dir}")
             if it % cfg.train.log_every == 0 or it == iters - 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 if cfg.train.nan_is_fatal and not np.isfinite(host["loss"]):
