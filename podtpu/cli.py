@@ -100,11 +100,13 @@ def cli():
                    "(torchvision .pth or converted .msgpack)")
 @click.option("--resume", is_flag=True, default=False,
               help="Resume from the last epoch checkpoint if present")
+@click.option("--with-mask", is_flag=True, default=False,
+              help="Train a Mask R-CNN head on polygon annotations")
 @add_options(server_options)
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          server, username, password):
+                          with_mask, server, username, password):
     from podtpu.core.config import Config
     from podtpu.train.train import train
 
@@ -129,7 +131,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
           output_dir=output_dir, name=model, batch_size=batch_size,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,
           optimiser=optimiser, config=cfg, pretrained=pretrained,
-          resume=resume)
+          resume=resume, with_mask=with_mask)
 
 
 @cli.command()

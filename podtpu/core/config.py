@@ -77,6 +77,8 @@ class ModelConfig:
     mask_pool_size: int = 14
     mask_resolution: int = 28
     mask_head_channels: int = 256
+    # Ground-truth mask bitmaps are rasterized at canvas/mask_gt_stride.
+    mask_gt_stride: int = 8
 
     # Static capacities
     max_gt_boxes: int = 100

@@ -252,9 +252,37 @@ class PolygonAnnotation(Annotation):
         x1, y1 = min(self.xs), min(self.ys)
         return x1, y1, max(self.xs) - x1, max(self.ys) - y1
 
+    @property
+    def coords(self):
+        """Bounding box corners (x1, y1, x2, y2) — lets polygons flow through
+        box-consuming code paths (dataset targets, crop export)."""
+        x, y, w, h = self.bounds
+        return x, y, x + w, y + h
+
+    @property
+    def coords_int(self):
+        return tuple(int(round(c)) for c in self.coords)
+
+    @property
+    def bounds_int(self):
+        return tuple(int(round(c)) for c in self.bounds)
+
     def to_rectangle(self) -> RectangleAnnotation:
         x, y, w, h = self.bounds
         return RectangleAnnotation(x, y, w, h, self.label, self.score)
+
+    def rasterize(self, height: int, width: int, scale: float = 1.0):
+        """Fill the polygon into a [height, width] uint8 bitmap (coordinates
+        multiplied by ``scale``) — host-side mask target generation for
+        Mask R-CNN training."""
+        from PIL import Image, ImageDraw
+
+        im = Image.new("L", (width, height), 0)
+        pts = [(x * scale, y * scale) for x, y in zip(self.xs, self.ys)]
+        if len(pts) >= 3:
+            ImageDraw.Draw(im).polygon(pts, outline=1, fill=1)
+        import numpy as _np
+        return _np.asarray(im, dtype=_np.uint8)
 
     # Unlike the reference (NotImplemented, annotation.py:211-223), polygon
     # IoU/centre-distance work via the bounding-box approximation.

@@ -281,11 +281,12 @@ class CvatTask:
                     p[0], p[1], p[2] - p[0], p[3] - p[1], label,
                     track_id=shape.get("id")))
             elif shape["type"] == "polygon":
-                # Imported as polygons (bounding box available via .bounds);
-                # the reference silently skipped these.
+                # First-class polygons (box views via .coords/.bounds; mask
+                # targets via .rasterize); the reference silently skipped
+                # these (cvat_web_api.py:279-280,302-303).
                 image.boxes.append(PolygonAnnotation(
-                    p[0::2].tolist(), p[1::2].tolist(), label
-                ).to_rectangle())
+                    p[0::2].tolist(), p[1::2].tolist(), label,
+                    uid=shape.get("id")))
 
     # -- uploading -----------------------------------------------------------
     def add_missing_labels(self, project: Project) -> None:

@@ -51,8 +51,7 @@ def parse_annotations_xml(xml_path: str, image_root: Optional[str] = None,
         for box_el in image_el.iterfind("box"):
             meta.add_annotation(RectangleAnnotation.from_cvat(box_el))
         for poly_el in image_el.iterfind("polygon"):
-            meta.add_annotation(
-                PolygonAnnotation.from_cvat(poly_el).to_rectangle())
+            meta.add_annotation(PolygonAnnotation.from_cvat(poly_el))
         project.add_image(meta)
     return project
 

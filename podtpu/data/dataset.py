@@ -33,6 +33,7 @@ class Sample:
     scale: float             # canvas px per original px
     original_size: Tuple[int, int]  # (h, w)
     index: int
+    masks: Optional[np.ndarray] = None  # [G, H/ms, W/ms] float32 bitmaps
 
 
 def fit_resize(image: np.ndarray, canvas: Tuple[int, int]):
@@ -61,11 +62,18 @@ class DetectionDataset:
         image_size: Tuple[int, int] = (1024, 1024),
         max_gt: int = 100,
         label_names: Optional[Sequence[str]] = None,
+        with_masks: bool = False,
+        mask_stride: int = 8,
     ):
         self.project = project
         self.images = list(project.image_dict.values())
         self.image_size = tuple(image_size)
         self.max_gt = max_gt
+        # Mask R-CNN targets: per-gt bitmaps at 1/mask_stride canvas
+        # resolution, rasterized from polygon annotations (rectangles fall
+        # back to filled boxes).
+        self.with_masks = with_masks
+        self.mask_stride = mask_stride
         # Label -> 1-based index (background = 0), same convention as the
         # reference (`dataset.py:21`).
         names = list(label_names) if label_names is not None \
@@ -102,9 +110,22 @@ class DetectionDataset:
             valid[j] = True
         np.clip(boxes[:, 0::2], 0, cw, out=boxes[:, 0::2])
         np.clip(boxes[:, 1::2], 0, ch, out=boxes[:, 1::2])
+        masks = None
+        if self.with_masks:
+            mh, mw = ch // self.mask_stride, cw // self.mask_stride
+            masks = np.zeros((g, mh, mw), np.float32)
+            mscale = scale / self.mask_stride
+            for j, box in enumerate(kept):
+                if hasattr(box, "rasterize"):
+                    masks[j] = box.rasterize(mh, mw, scale=mscale)
+                else:  # rectangle: filled box
+                    x1, y1, x2, y2 = (np.asarray(box.coords) * mscale)
+                    masks[j,
+                          int(max(y1, 0)): int(min(np.ceil(y2), mh)),
+                          int(max(x1, 0)): int(min(np.ceil(x2), mw))] = 1.0
         return Sample(image=canvas, boxes=boxes, labels=labels, valid=valid,
                       scale=scale, original_size=tuple(original_size),
-                      index=i)
+                      index=i, masks=masks)
 
     def load_batch(self, indices) -> List[Sample]:
         """Batch load; uses the native C++ threaded decode pipeline when
@@ -141,7 +162,7 @@ def train_test_split(
 
 def collate(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
     """Stack samples into one fixed-shape batch dict."""
-    return {
+    batch = {
         "image": np.stack([s.image for s in samples]),
         "boxes": np.stack([s.boxes for s in samples]),
         "labels": np.stack([s.labels for s in samples]),
@@ -151,3 +172,6 @@ def collate(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
                                     np.int32),
         "index": np.asarray([s.index for s in samples], np.int32),
     }
+    if samples[0].masks is not None:
+        batch["masks"] = np.stack([s.masks for s in samples])
+    return batch

@@ -31,48 +31,56 @@ from podtpu.ops import image_ops as T
 AugmentFn = Callable
 
 
-def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5):
+def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5, masks=None):
     h, w = image.shape[0], image.shape[1]
     k1, k2 = jax.random.split(rng)
     fimg, fbox = T.hflip(image, boxes, float(w))
     do = jax.random.uniform(k1) < hflip_prob
     image = jnp.where(do, fimg, image)
     boxes = jnp.where(do, fbox, boxes)
+    if masks is not None:
+        masks = jnp.where(do, masks[:, :, ::-1], masks)
     fimg, fbox = T.vflip(image, boxes, float(h))
     do = jax.random.uniform(k2) < vflip_prob
     image = jnp.where(do, fimg, image)
     boxes = jnp.where(do, fbox, boxes)
-    return image, boxes
+    if masks is not None:
+        masks = jnp.where(do, masks[:, ::-1, :], masks)
+    return image, boxes, masks
 
 
-def miso_policy(rng, image, boxes, valid, distort=True):
+def miso_policy(rng, image, boxes, valid, masks=None, distort=True):
     k1, k2 = jax.random.split(rng)
-    image, boxes = _flips(k1, image, boxes)
+    image, boxes, masks = _flips(k1, image, boxes, masks=masks)
     if distort:
         image = T.photometric_distort(k2, image)
-    return image, boxes, valid
+    return image, boxes, valid, masks
 
 
-def hflip_policy(rng, image, boxes, valid):
-    image, boxes = _flips(rng, image, boxes, vflip_prob=0.0)
-    return image, boxes, valid
+def hflip_policy(rng, image, boxes, valid, masks=None):
+    image, boxes, masks = _flips(rng, image, boxes, vflip_prob=0.0,
+                                 masks=masks)
+    return image, boxes, valid, masks
 
 
-def lsj_policy(rng, image, boxes, valid):
+def lsj_policy(rng, image, boxes, valid, masks=None):
+    _no_masks("lsj", masks)
     k1, k2 = jax.random.split(rng)
     image, boxes = T.scale_jitter(k1, image, boxes, (0.1, 2.0))
-    image, boxes = _flips(k2, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid)
+    image, boxes, _ = _flips(k2, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid), None
 
 
-def multiscale_policy(rng, image, boxes, valid):
+def multiscale_policy(rng, image, boxes, valid, masks=None):
+    _no_masks("multiscale", masks)
     k1, k2 = jax.random.split(rng)
     image, boxes = T.scale_jitter(k1, image, boxes, (0.5, 1.25))
-    image, boxes = _flips(k2, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid)
+    image, boxes, _ = _flips(k2, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid), None
 
 
-def ssd_policy(rng, image, boxes, valid):
+def ssd_policy(rng, image, boxes, valid, masks=None):
+    _no_masks("ssd", masks)
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     image = T.photometric_distort(k1, image)
     do_zoom = jax.random.uniform(k2) < 0.5
@@ -80,19 +88,27 @@ def ssd_policy(rng, image, boxes, valid):
     image = jnp.where(do_zoom, zimg, image)
     boxes = jnp.where(do_zoom, zbox, boxes)
     image, boxes, valid = T.iou_crop(k4, image, boxes, valid)
-    image, boxes = _flips(k5, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid)
+    image, boxes, _ = _flips(k5, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid), None
 
 
-def ssdlite_policy(rng, image, boxes, valid):
+def ssdlite_policy(rng, image, boxes, valid, masks=None):
+    _no_masks("ssdlite", masks)
     k1, k2 = jax.random.split(rng)
     image, boxes, valid = T.iou_crop(k1, image, boxes, valid)
-    image, boxes = _flips(k2, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid)
+    image, boxes, _ = _flips(k2, image, boxes, vflip_prob=0.0)
+    return image, boxes, _revalidate(boxes, valid), None
 
 
-def none_policy(rng, image, boxes, valid):
-    return image, boxes, valid
+def none_policy(rng, image, boxes, valid, masks=None):
+    return image, boxes, valid, masks
+
+
+def _no_masks(name, masks):
+    if masks is not None:
+        raise NotImplementedError(
+            f"policy {name!r} does not transform mask targets yet; use "
+            "'miso', 'hflip' or 'none' for Mask R-CNN training")
 
 
 def _revalidate(boxes, valid):
@@ -122,8 +138,17 @@ def get_policy(name: str) -> AugmentFn:
 
 
 def augment_batch_policy(policy: AugmentFn, rng, images, boxes, valid,
-                         **kw):
-    """vmap a per-image policy over the batch."""
+                         masks=None, **kw):
+    """vmap a per-image policy over the batch.
+
+    Returns (images, boxes, valid, masks) — masks is None when not given.
+    """
     rngs = jax.random.split(rng, images.shape[0])
-    return jax.vmap(lambda r, i, b, v: policy(r, i, b, v, **kw))(
-        rngs, images, boxes, valid)
+    if masks is None:
+        out = jax.vmap(
+            lambda r, i, b, v: policy(r, i, b, v, masks=None, **kw)[:3])(
+            rngs, images, boxes, valid)
+        return out + (None,)
+    return jax.vmap(
+        lambda r, i, b, v, m: policy(r, i, b, v, masks=m, **kw))(
+        rngs, images, boxes, valid, masks)

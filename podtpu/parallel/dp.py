@@ -67,13 +67,13 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         shard_idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, shard_idx)
         rng_aug, rng_model = jax.random.split(rng)
-        images, boxes, valid = augment_batch_policy(
+        images, boxes, valid, masks = augment_batch_policy(
             policy, rng_aug, batch["image"], batch["boxes"], batch["valid"],
-            **policy_kw)
+            masks=batch.get("masks"), **policy_kw)
         gt = {"boxes": boxes, "labels": batch["labels"],
               "valid": valid}
-        if "masks" in batch:
-            gt["masks"] = batch["masks"]
+        if masks is not None:
+            gt["masks"] = masks
 
         def loss_fn(params):
             losses = model.apply({"params": params, "frozen": state.frozen},
@@ -98,13 +98,11 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         return TrainState(params=params, frozen=state.frozen,
                           opt_state=opt_state, step=state.step + 1), metrics
 
+    # batch_spec is a pytree prefix: every array in the batch dict shards
+    # along the data axis.
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(replicated,
-                  {k: batch_spec for k in
-                   ("image", "boxes", "labels", "valid", "scale",
-                    "original_size", "index")},
-                  replicated, replicated),
+        in_specs=(replicated, batch_spec, replicated, replicated),
         out_specs=(replicated, replicated),
         check_vma=False)
 

@@ -51,13 +51,13 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
                 lr: jnp.ndarray):
         rng_aug, rng_model = jax.random.split(rng)
-        images, boxes, valid = augment_batch_policy(
+        images, boxes, valid, masks = augment_batch_policy(
             policy, rng_aug, batch["image"], batch["boxes"], batch["valid"],
-            **policy_kw)
+            masks=batch.get("masks"), **policy_kw)
         gt = {"boxes": boxes, "labels": batch["labels"],
               "valid": valid}
-        if "masks" in batch:
-            gt["masks"] = batch["masks"]
+        if masks is not None:
+            gt["masks"] = masks
 
         def loss_fn(params):
             losses = model.apply({"params": params, "frozen": state.frozen},

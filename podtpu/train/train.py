@@ -64,7 +64,8 @@ def train(project: Project,
           pretrained: Optional[str] = None,
           resume: bool = False,
           seed: int = 0,
-          num_workers: int = 4) -> str:
+          num_workers: int = 4,
+          with_mask: bool = False) -> str:
     """Train a detector on ``project``; returns the model directory path."""
     # -- project fixup (reference training.py:27-32) -------------------------
     project = copy.deepcopy(project)
@@ -81,7 +82,8 @@ def train(project: Project,
             cfg.train, batch_size=batch_size, optimiser=optimiser,
             alrs_epochs=alrs_epochs, alrs_drops=alrs_drops,
             alrs_startup_factor=alrs_startup_factor, max_epochs=max_epochs),
-        model=dataclasses.replace(cfg.model, num_classes=len(labels) + 1),
+        model=dataclasses.replace(cfg.model, num_classes=len(labels) + 1,
+                                  with_mask=with_mask or cfg.model.with_mask),
     )
 
     print()
@@ -98,7 +100,9 @@ def train(project: Project,
     # -- data ---------------------------------------------------------------
     dataset = DetectionDataset(project, image_size=cfg.model.image_size,
                                max_gt=cfg.model.max_gt_boxes,
-                               label_names=labels)
+                               label_names=labels,
+                               with_masks=cfg.model.with_mask,
+                               mask_stride=cfg.model.mask_gt_stride)
     train_idx, test_idx = train_test_split(
         len(dataset), cfg.train.split_fraction, cfg.train.split_seed)
     print("Training set images")

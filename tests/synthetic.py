@@ -7,13 +7,19 @@ Project, so the whole decode→train→eval→artifact path is exercised.
 """
 from __future__ import annotations
 
+import math
 import os
 from typing import List, Tuple
 
 import numpy as np
 from PIL import Image
 
-from podtpu.data import ImageMetadata, Project, RectangleAnnotation
+from podtpu.data import (
+    ImageMetadata,
+    PolygonAnnotation,
+    Project,
+    RectangleAnnotation,
+)
 
 
 def draw_particle(img: np.ndarray, x: int, y: int, w: int, h: int,
@@ -27,6 +33,17 @@ def draw_particle(img: np.ndarray, x: int, y: int, w: int, h: int,
     img[mask] = colour
 
 
+def ellipse_polygon(x, y, w, h, label, points=12) -> PolygonAnnotation:
+    """Polygon approximating the drawn ellipse (for mask training tests)."""
+    cx, cy = x + w / 2, y + h / 2
+    xs, ys = [], []
+    for t in range(points):
+        a = 2 * math.pi * t / points
+        xs.append(cx + (w / 2) * math.cos(a))
+        ys.append(cy + (h / 2) * math.sin(a))
+    return PolygonAnnotation(xs, ys, label)
+
+
 def make_project(
     root: str,
     num_images: int = 8,
@@ -34,8 +51,13 @@ def make_project(
     labels: List[str] = ("particle",),
     max_boxes: int = 3,
     seed: int = 0,
+    polygons: bool = False,
 ) -> Project:
-    """Write JPEGs under ``root`` and return a Project referencing them."""
+    """Write JPEGs under ``root`` and return a Project referencing them.
+
+    With ``polygons=True`` annotations are PolygonAnnotations tracing the
+    drawn ellipses (exercising the Mask R-CNN target path).
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     project = Project()
@@ -52,8 +74,11 @@ def make_project(
             y = int(rng.integers(0, h - bh))
             li = int(rng.integers(0, len(labels)))
             draw_particle(img, x, y, bw, bh, palette[li % len(palette)])
-            meta.add_annotation(
-                RectangleAnnotation(x, y, bw, bh, labels[li]))
+            if polygons:
+                meta.add_annotation(ellipse_polygon(x, y, bw, bh, labels[li]))
+            else:
+                meta.add_annotation(
+                    RectangleAnnotation(x, y, bw, bh, labels[li]))
         Image.fromarray(img).save(os.path.join(root, f"img_{i:03d}.jpg"),
                                   quality=92)
         project.add_image(meta)

@@ -82,12 +82,30 @@ class TestPolicies:
         img, boxes, valid = sample_image()
         images = img[None]
         fn = get_policy(name)
-        out_img, out_box, out_valid = augment_batch_policy(
+        out_img, out_box, out_valid, out_masks = augment_batch_policy(
             fn, jax.random.key(0), images, boxes[None], valid[None])
+        assert out_masks is None
         assert out_img.shape == images.shape
         assert out_box.shape == (1,) + boxes.shape
         assert out_valid.shape == (1,) + valid.shape
         assert np.isfinite(np.asarray(out_img)).all()
+
+    def test_mask_aware_flips(self):
+        img, boxes, valid = sample_image()
+        masks = jnp.zeros((2, 32, 32), jnp.float32).at[:, :4, :4].set(1.0)
+        from podtpu.data.presets import hflip_policy
+        # Force a flip by trying keys until boxes change.
+        for seed in range(20):
+            oi, ob, ov, om = augment_batch_policy(
+                hflip_policy, jax.random.key(seed), img[None], boxes[None],
+                valid[None], masks=masks[None])
+            if not np.allclose(ob[0], boxes):
+                # Flip happened: the mask corner moved to the right side.
+                assert float(om[0, 0, 0, -1]) == 1.0
+                assert float(om[0, 0, 0, 0]) == 0.0
+                break
+        else:
+            raise AssertionError("no flip in 20 seeds")
 
     def test_unknown_policy_raises(self):
         with pytest.raises(ValueError):
@@ -96,7 +114,7 @@ class TestPolicies:
     def test_none_policy_identity(self):
         img, boxes, valid = sample_image()
         fn = get_policy("none")
-        out_img, out_box, out_valid = augment_batch_policy(
+        out_img, out_box, out_valid, _ = augment_batch_policy(
             fn, jax.random.key(0), img[None], boxes[None], valid[None])
         assert np.allclose(out_img[0], img)
         assert np.allclose(out_box[0], boxes)
