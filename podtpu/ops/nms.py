@@ -50,6 +50,20 @@ def nms_keep(
     sboxes = boxes[order]
     svalid = valid[order]
 
+    if jax.default_backend() == "tpu" and 256 <= n <= 2048:
+        # Pallas kernel: suppression matrix built and iterated in VMEM
+        # (pad to the 128 tile; padding slots are invalid).  Beyond 2048 the
+        # matrix exceeds VMEM and the XLA path below applies.
+        from podtpu.ops.pallas.nms_kernel import nms_fixpoint_pallas
+
+        pad = (-n) % 128
+        # The keep mask is boolean (non-differentiable); sever tangents so
+        # the pallas_call is never JVP-traced under grad.
+        pboxes = jax.lax.stop_gradient(jnp.pad(sboxes, ((0, pad), (0, 0))))
+        pvalid = jnp.pad(svalid, (0, pad))
+        keep = nms_fixpoint_pallas(pboxes, pvalid, float(iou_threshold))[:n]
+        return jnp.zeros((n,), bool).at[order].set(keep)
+
     iou = box_iou(sboxes, sboxes)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
