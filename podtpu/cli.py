@@ -28,11 +28,13 @@ from podtpu.data.project import Project
 from podtpu.shared.utils import now_as_str
 
 
-def _load_tasks(tasks, server, wsl2, api, username, password) -> Project:
+def _load_tasks(tasks, server, wsl2, api, username, password,
+                image_root=None) -> Project:
     project = Project()
     for task_id in tasks:
         task = CvatTask(server, task_id, is_wsl2=wsl2, api=api, debug=True,
-                        username=username, password=password)
+                        username=username, password=password,
+                        image_root=image_root)
         task.load()
         project.add_project(task.project)
     return project
@@ -50,6 +52,9 @@ server_options = [
                  help="CVAT username"),
     click.option("--password", type=str, default="admin",
                  help="CVAT password"),
+    click.option("--image-root", type=str, default=None,
+                 help="Explicit image root (default: the CVAT container "
+                      "data path, like the reference)"),
 ]
 
 
@@ -106,7 +111,7 @@ def cli():
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          with_mask, server, username, password):
+                          with_mask, server, username, password, image_root):
     from podtpu.core.config import Config
     from podtpu.train.train import train
 
@@ -114,7 +119,8 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
     if labels is not None:
         labels = [label.strip() for label in labels.split(",")]
 
-    project = _load_tasks(task_ids, server, wsl2, api, username, password)
+    project = _load_tasks(task_ids, server, wsl2, api, username, password,
+                          image_root=image_root)
 
     if merge_label is not None:
         for label in list(project.label_dict.values()):
@@ -156,7 +162,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
               help="CVAT api version string, v1 or v2")
 @add_options(server_options)
 def infer_object_detector(tasks, model_dir, model, threshold, batch_size, nv,
-                          wsl2, api, server, username, password):
+                          wsl2, api, server, username, password, image_root):
     from podtpu.infer.inference import infer
 
     task_ids = [int(task) for task in tasks.split(",")]
@@ -165,7 +171,8 @@ def infer_object_detector(tasks, model_dir, model, threshold, batch_size, nv,
 
     for task_id in task_ids:
         task = CvatTask(server, task_id, is_wsl2=wsl2, api=api, debug=True,
-                        username=username, password=password)
+                        username=username, password=password,
+                        image_root=image_root)
         task.load()
         project = infer(task.project, model_path, labels, threshold,
                         batch_size, nv)
@@ -184,7 +191,8 @@ def infer_object_detector(tasks, model_dir, model, threshold, batch_size, nv,
 @click.option("--api", type=str, default="v1", show_default=True,
               help="CVAT api version string, v1 or v2")
 @add_options(server_options)
-def crop_objects(tasks, output_dir, wsl2, api, server, username, password):
+def crop_objects(tasks, output_dir, wsl2, api, server, username, password,
+                 image_root):
     from podtpu.infer.crop import crop_objects as crop_objects_fn
 
     task_ids = [int(task) for task in tasks.split(",")]
@@ -193,7 +201,8 @@ def crop_objects(tasks, output_dir, wsl2, api, server, username, password):
         now_as_str() + "_" + "_".join(str(t) for t in task_ids))
     for task_id in task_ids:
         task = CvatTask(server, task_id, is_wsl2=wsl2, api=api, debug=True,
-                        username=username, password=password)
+                        username=username, password=password,
+                        image_root=image_root)
         task.load()
         crop_objects_fn(task.project, output_dir)
 

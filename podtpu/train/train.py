@@ -74,6 +74,10 @@ def train(project: Project,
     project.remove_unlabelled_images()
     project.update_label_dict()
     labels = project.label_names
+    if not project.image_dict or not labels:
+        raise ValueError(
+            "Project has no annotated images (check --image-root / task "
+            "ids / label filters)")
 
     cfg = config or Config()
     cfg = dataclasses.replace(
