@@ -2,6 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Set BENCH_METRIC=tiles to instead measure the auto-annotation path's tile
+throughput (batched eval forward at the tiled-inference shape) — the north
+star's "auto-annotate tiles/sec" metric.
+
 Baseline: the reference publishes no numbers (BASELINE.md) — the comparison
 anchor is the estimated single-A100 throughput of the reference's de-facto
 operating point (torchvision Faster R-CNN R50-FPN fine-tune). Public
@@ -14,12 +18,56 @@ sustained jitted train-step throughput — augmentation + forward + loss +
 backward + SGD update — at batch 4, 1024x1024, bf16 compute.
 """
 import json
+import os
 import time
 
 A100_BASELINE_IMG_PER_SEC = 20.0
+# A100 eval-forward estimate for the same model/size (~3x train throughput).
+A100_BASELINE_TILES_PER_SEC = 60.0
 
 BATCH = 4
 CANVAS = 1024
+
+
+def bench_tiles():
+    """Eval-forward throughput at the tiled-inference operating point."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from podtpu.core.config import ModelConfig
+    from podtpu.models.detector import FasterRCNN, init_variables
+    from podtpu.train.step import make_eval_step
+
+    model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
+                            compute_dtype="bfloat16")
+    model = FasterRCNN(cfg=model_cfg)
+    variables = init_variables(model, jax.random.key(0))
+    eval_step = make_eval_step(model)
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(rng.uniform(0, 1, (BATCH, CANVAS, CANVAS, 3)),
+                        jnp.float32)
+    params, frozen = variables["params"], variables["frozen"]
+
+    def run(iters):
+        t0 = time.perf_counter()
+        det = None
+        for _ in range(iters):
+            det = eval_step(params, frozen, tiles)
+        _ = float(det.scores.sum())
+        return time.perf_counter() - t0
+
+    _ = run(1)  # compile
+    t_short = min(run(2) for _ in range(2))
+    t_long = min(run(12) for _ in range(2))
+    per_step = max((t_long - t_short) / 10, 1e-9)
+    tiles_per_sec = BATCH / per_step
+    print(json.dumps({
+        "metric": "auto_annotate_tiles_per_sec_1024",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/sec",
+        "vs_baseline": round(tiles_per_sec / A100_BASELINE_TILES_PER_SEC, 3),
+    }))
 
 
 def main():
@@ -92,4 +140,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_METRIC") == "tiles":
+        bench_tiles()
+    else:
+        main()

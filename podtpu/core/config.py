@@ -143,6 +143,9 @@ class DataConfig:
     hflip_prob: float = 0.5
     vflip_prob: float = 0.5
     photometric_distort: bool = True
+    # Batch-level Simple Copy-Paste (reference engine/transforms.py:475-626),
+    # applied before the per-image policy.
+    copy_paste: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

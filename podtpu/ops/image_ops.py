@@ -237,6 +237,71 @@ def iou_crop(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     return img, nboxes, keep & valid
 
 
+def copy_paste_batch(rng: jax.Array, images: jnp.ndarray,
+                     boxes: jnp.ndarray, labels: jnp.ndarray,
+                     valid: jnp.ndarray, masks=None,
+                     region_stride: int = 8):
+    """Simple Copy-Paste (the reference's SimpleCopyPaste,
+    engine/transforms.py:475-626), batch-level: each image receives the
+    instances of its batch neighbour (roll by 1).
+
+    With ``masks`` the pasted region is the union of the neighbour's
+    instance masks; without, the union of its boxes (box-paste).  Ground
+    truth is merged (originals first, pasted appended) and re-compacted to
+    the fixed capacity; original masks are clipped by the pasted region.
+    Simplification vs torchvision: original BOXES are kept as-is rather
+    than recomputed from occluded masks.
+    """
+    b, h, w, _ = images.shape
+    g = boxes.shape[1]
+    src_img = jnp.roll(images, 1, axis=0)
+    src_boxes = jnp.roll(boxes, 1, axis=0)
+    src_labels = jnp.roll(labels, 1, axis=0)
+    src_valid = jnp.roll(valid, 1, axis=0)
+    src_masks = jnp.roll(masks, 1, axis=0) if masks is not None else None
+
+    # Randomly drop ~half the pasted instances (torchvision samples a
+    # random subset).
+    keep_paste = (jax.random.uniform(rng, (b, g)) < 0.5) & src_valid
+
+    if src_masks is not None:
+        region = jnp.any(src_masks * keep_paste[:, :, None, None] > 0.5,
+                         axis=1)                                  # [B,mh,mw]
+        mh, mw = region.shape[1], region.shape[2]
+        sy, sx = h // mh, w // mw
+    else:
+        mh, mw = h // region_stride, w // region_stride
+        sy = sx = region_stride
+        yy = (jax.lax.broadcasted_iota(jnp.float32, (mh, mw), 0) + 0.5) * sy
+        xx = (jax.lax.broadcasted_iota(jnp.float32, (mh, mw), 1) + 0.5) * sx
+        inside = ((xx[None, None] >= src_boxes[:, :, 0, None, None])
+                  & (xx[None, None] < src_boxes[:, :, 2, None, None])
+                  & (yy[None, None] >= src_boxes[:, :, 1, None, None])
+                  & (yy[None, None] < src_boxes[:, :, 3, None, None]))
+        region = jnp.any(inside & keep_paste[:, :, None, None], axis=1)
+
+    region_full = jnp.repeat(jnp.repeat(region, sy, axis=1), sx, axis=2)
+    region_full = region_full[:, :h, :w, None]
+    out_images = jnp.where(region_full, src_img, images)
+
+    # Merge gt: originals first, pasted appended, compact to capacity G.
+    all_boxes = jnp.concatenate([boxes, src_boxes], axis=1)
+    all_labels = jnp.concatenate([labels, src_labels], axis=1)
+    all_valid = jnp.concatenate([valid, keep_paste], axis=1)
+    order = jnp.argsort(~all_valid, axis=1, stable=True)[:, :g]
+    out_boxes = jnp.take_along_axis(all_boxes, order[:, :, None], axis=1)
+    out_labels = jnp.take_along_axis(all_labels, order, axis=1)
+    out_valid = jnp.take_along_axis(all_valid, order, axis=1)
+
+    out_masks = None
+    if masks is not None:
+        clipped = masks * (1.0 - region[:, None].astype(masks.dtype))
+        all_masks = jnp.concatenate([clipped, src_masks], axis=1)
+        out_masks = jnp.take_along_axis(
+            all_masks, order[:, :, None, None], axis=1)
+    return out_images, out_boxes, out_labels, out_valid, out_masks
+
+
 def augment_batch(
     rng: jax.Array,
     images: jnp.ndarray,       # [B, H, W, 3] float in [0,1]

@@ -67,11 +67,17 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         shard_idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, shard_idx)
         rng_aug, rng_model = jax.random.split(rng)
+        images, boxes, labels, valid, masks = (
+            batch["image"], batch["boxes"], batch["labels"], batch["valid"],
+            batch.get("masks"))
+        if cfg.data.copy_paste:
+            from podtpu.ops.image_ops import copy_paste_batch
+            rng_cp, rng_aug = jax.random.split(rng_aug)
+            images, boxes, labels, valid, masks = copy_paste_batch(
+                rng_cp, images, boxes, labels, valid, masks)
         images, boxes, valid, masks = augment_batch_policy(
-            policy, rng_aug, batch["image"], batch["boxes"], batch["valid"],
-            masks=batch.get("masks"), **policy_kw)
-        gt = {"boxes": boxes, "labels": batch["labels"],
-              "valid": valid}
+            policy, rng_aug, images, boxes, valid, masks=masks, **policy_kw)
+        gt = {"boxes": boxes, "labels": labels, "valid": valid}
         if masks is not None:
             gt["masks"] = masks
 

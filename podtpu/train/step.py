@@ -51,11 +51,17 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
                 lr: jnp.ndarray):
         rng_aug, rng_model = jax.random.split(rng)
+        images, boxes, labels, valid, masks = (
+            batch["image"], batch["boxes"], batch["labels"], batch["valid"],
+            batch.get("masks"))
+        if cfg.data.copy_paste:
+            rng_cp, rng_aug = jax.random.split(rng_aug)
+            from podtpu.ops.image_ops import copy_paste_batch
+            images, boxes, labels, valid, masks = copy_paste_batch(
+                rng_cp, images, boxes, labels, valid, masks)
         images, boxes, valid, masks = augment_batch_policy(
-            policy, rng_aug, batch["image"], batch["boxes"], batch["valid"],
-            masks=batch.get("masks"), **policy_kw)
-        gt = {"boxes": boxes, "labels": batch["labels"],
-              "valid": valid}
+            policy, rng_aug, images, boxes, valid, masks=masks, **policy_kw)
+        gt = {"boxes": boxes, "labels": labels, "valid": valid}
         if masks is not None:
             gt["masks"] = masks
 
