@@ -300,32 +300,3 @@ def copy_paste_batch(rng: jax.Array, images: jnp.ndarray,
         out_masks = jnp.take_along_axis(
             all_masks, order[:, :, None, None], axis=1)
     return out_images, out_boxes, out_labels, out_valid, out_masks
-
-
-def augment_batch(
-    rng: jax.Array,
-    images: jnp.ndarray,       # [B, H, W, 3] float in [0,1]
-    boxes: jnp.ndarray,        # [B, G, 4] xyxy canvas coords
-    hflip_prob: float = 0.5,
-    vflip_prob: float = 0.5,
-    distort: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Train-time augmentation for a whole batch, on device."""
-    h, w = images.shape[1], images.shape[2]
-
-    def per_image(r, img, bxs):
-        k1, k2, k3 = jax.random.split(r, 3)
-        fimg, fbox = hflip(img, bxs, float(w))
-        do_h = jax.random.uniform(k1) < hflip_prob
-        img = jnp.where(do_h, fimg, img)
-        bxs = jnp.where(do_h, fbox, bxs)
-        fimg, fbox = vflip(img, bxs, float(h))
-        do_v = jax.random.uniform(k2) < vflip_prob
-        img = jnp.where(do_v, fimg, img)
-        bxs = jnp.where(do_v, fbox, bxs)
-        if distort:
-            img = photometric_distort(k3, img)
-        return img, bxs
-
-    rngs = jax.random.split(rng, images.shape[0])
-    return jax.vmap(per_image)(rngs, images, boxes)

@@ -16,7 +16,6 @@ call sites.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -28,7 +27,6 @@ from jax import shard_map
 
 from podtpu.core.config import Config
 from podtpu.models.detector import FasterRCNN
-from podtpu.ops.image_ops import augment_batch
 from podtpu.train.step import TrainState
 
 

@@ -19,7 +19,6 @@ import optax
 
 from podtpu.core.config import Config
 from podtpu.models.detector import FasterRCNN
-from podtpu.ops.image_ops import augment_batch
 
 
 class TrainState(NamedTuple):
