@@ -188,9 +188,12 @@ def train(project: Project,
                 logger.update(**host)
         evaluate(eval_step, state.params, state.frozen, loader_test,
                  num_classes=len(labels))
+        # ALRS step BEFORE checkpointing so a resumed scheduler has this
+        # epoch's loss in its buffer.
+        should_stop = alrs.step(epoch, logger.meters["loss"].global_avg)
         ckpt.save_train_checkpoint(output_dir, state, epoch,
                                    alrs.state_dict())
-        if alrs.step(epoch, logger.meters["loss"].global_avg):
+        if should_stop:
             break
 
     print("-" * 80)
