@@ -176,13 +176,14 @@ class FasterRCNN(nn.Module):
 
 
 def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
-    """Initialise parameters cheaply at a small canvas.
+    """Initialise parameters cheaply at a small canvas, on the CPU backend.
 
     Every parameter shape in the detector is canvas-independent (convs, the
     7x7-pooled box head, the mask head), so tracing `init` at the full
     production canvas only wastes compile time — notably minutes per run on
-    remote-compile TPU setups.  Init at a 128px canvas and use the params at
-    any image size.
+    remote-compile TPU setups.  Init at a 128px canvas on CPU (initializers
+    don't need the accelerator; params transfer on first use) and use the
+    params at any image size.
     """
     import dataclasses as _dc
 
@@ -191,10 +192,20 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
         image_size=(init_canvas, init_canvas),
         rpn_pre_nms_topk_train=64, rpn_pre_nms_topk_test=64,
         rpn_post_nms_topk_train=64, rpn_post_nms_topk_test=32,
-        box_batch_per_image=8, detections_per_image=4, max_gt_boxes=4)
+        box_batch_per_image=8, detections_per_image=4, max_gt_boxes=4,
+        use_pallas_roi_align=False)
     proxy = FasterRCNN(cfg=small)
-    images = jnp.zeros((1, init_canvas, init_canvas, 3), jnp.float32)
-    return proxy.init(rng, images, train=False)
+
+    def run_init():
+        images = jnp.zeros((1, init_canvas, init_canvas, 3), jnp.float32)
+        return proxy.init(rng, images, train=False)
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return run_init()
+    with jax.default_device(cpu):
+        return run_init()
 
 
 def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
