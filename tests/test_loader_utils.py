@@ -1,0 +1,91 @@
+"""Loader, warmup schedule and profiling-utility tests."""
+import numpy as np
+import pytest
+
+from podtpu.core.config import Config, TrainConfig
+from podtpu.core.profiling import StepTimer
+from podtpu.data.dataset import DetectionDataset, train_test_split
+from podtpu.data.loader import Loader
+from podtpu.train.step import warmup_factor
+from tests.synthetic import make_project
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("loader_imgs")
+    project = make_project(str(root), num_images=5)
+    return DetectionDataset(project, image_size=(64, 64), max_gt=4)
+
+
+class TestLoader:
+    def test_wraparound_batches_static(self, dataset):
+        loader = Loader(dataset, batch_size=2, num_workers=2)
+        batches = list(loader)
+        # 5 images, bs 2 -> 3 batches, last one wrapped.
+        assert len(batches) == 3
+        for batch, bvalid in batches:
+            assert batch["image"].shape == (2, 64, 64, 3)
+            assert bvalid.shape == (2,)
+        assert batches[-1][1].tolist() == [True, False]
+
+    def test_epoch_shuffle_differs(self, dataset):
+        loader = Loader(dataset, batch_size=2, shuffle=True, seed=0,
+                        num_workers=1)
+        loader.set_epoch(0)
+        order0 = [int(i) for b, _ in loader for i in b["index"]]
+        loader.set_epoch(1)
+        order1 = [int(i) for b, _ in loader for i in b["index"]]
+        assert sorted(set(order0)) == list(range(5))
+        assert order0 != order1
+
+    def test_empty_indices(self, dataset):
+        loader = Loader(dataset, batch_size=2, indices=np.asarray([], int))
+        assert len(loader) == 0
+        assert list(loader) == []
+
+    def test_split_seeded(self):
+        a = train_test_split(10, 0.2, seed=1)
+        b = train_test_split(10, 0.2, seed=1)
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+        assert len(a[0]) == 8 and len(a[1]) == 2
+        assert sorted(np.concatenate(a)) == list(range(10))
+
+    def test_split_tiny_dataset_no_test(self):
+        tr, te = train_test_split(3, 0.2, seed=1)
+        assert len(tr) == 3 and len(te) == 0
+
+
+class TestWarmup:
+    def test_epoch0_ramps(self):
+        cfg = Config(train=TrainConfig(warmup_iters=100))
+        f0 = warmup_factor(cfg, epoch=0, it=0, iters_in_epoch=1000)
+        fm = warmup_factor(cfg, epoch=0, it=50, iters_in_epoch=1000)
+        f1 = warmup_factor(cfg, epoch=0, it=100, iters_in_epoch=1000)
+        assert f0 == pytest.approx(1 / 1000)
+        assert 0.4 < fm < 0.6
+        assert f1 == 1.0
+
+    def test_later_epochs_full(self):
+        cfg = Config()
+        assert warmup_factor(cfg, epoch=1, it=0, iters_in_epoch=10) == 1.0
+
+    def test_short_epoch_caps_warmup(self):
+        cfg = Config(train=TrainConfig(warmup_iters=1000))
+        # min(1000, iters-1) like the reference engine.py:18-25.
+        assert warmup_factor(cfg, epoch=0, it=4, iters_in_epoch=5) == 1.0
+
+
+class TestStepTimer:
+    def test_percentiles(self):
+        t = StepTimer(skip_first=0)
+        for v in [0.01, 0.02, 0.03, 0.04, 0.05]:
+            t._all.append(v)
+        assert t.p50 == pytest.approx(0.03)
+        assert t.p90 == pytest.approx(0.05)
+        assert "ms" in t.summary()
+
+    def test_context_manager(self):
+        t = StepTimer(skip_first=0)
+        with t:
+            pass
+        assert len(t._all) == 1
