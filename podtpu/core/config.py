@@ -14,7 +14,7 @@ capacities with validity masks, and bf16 compute policy.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,6 @@ interoperating with external tooling).
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, Optional
 
 from podtpu.data.annotation import PolygonAnnotation, RectangleAnnotation

@@ -14,7 +14,6 @@ or a folder of such folders (the reference's two layouts,
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional
 

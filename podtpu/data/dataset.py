@@ -14,7 +14,6 @@ mapped back to original image coordinates.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -21,7 +21,7 @@ step and vmaps over the batch.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ import copy
 from pathlib import Path
 from typing import List, Optional
 
-import jax
 import numpy as np
 
 from podtpu.data.dataset import DetectionDataset

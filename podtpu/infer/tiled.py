@@ -15,7 +15,6 @@ tiles fill the batch dimension), then merged:
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple, Union
 

@@ -19,7 +19,7 @@ dict of fixed-capacity arrays: ``boxes [B, G, 4]`` (xyxy, canvas coords),
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ from podtpu.models.resnet import ResNet
 from podtpu.models import roi_heads as rh
 from podtpu.models import rpn as rpn_lib
 from podtpu.ops.anchors import grid_anchors
-from podtpu.ops.roi_align import flatten_levels
 
 
 class FasterRCNN(nn.Module):

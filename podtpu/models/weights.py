@@ -21,7 +21,7 @@ same behavior as the reference's head replacement (`models.py:10-12`).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ them untouched.  Everything is static-shape and vmapped over the batch.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,8 +27,7 @@ fallback path.
 """
 from __future__ import annotations
 
-import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

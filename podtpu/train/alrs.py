@@ -22,7 +22,7 @@ state; we do — SURVEY.md §5 checkpoint/resume).
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 
 def slope_probability_less_than(values: List[float], prob: float = 0.0) -> float:

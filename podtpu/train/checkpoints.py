@@ -18,10 +18,9 @@ import dataclasses
 import json
 import os
 import pickle
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
-import numpy as np
 from flax import serialization
 
 from podtpu.core.config import ModelConfig

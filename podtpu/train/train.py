@@ -29,12 +29,12 @@ from typing import List, Optional
 import jax
 import numpy as np
 
-from podtpu.core.config import Config, ModelConfig, TrainConfig
+from podtpu.core.config import Config
 from podtpu.core.logging import MetricLogger, is_main_process
 from podtpu.data.dataset import DetectionDataset, train_test_split
 from podtpu.data.loader import Loader
 from podtpu.data.project import Project
-from podtpu.models.detector import FasterRCNN, build_model, init_variables
+from podtpu.models.detector import FasterRCNN, init_variables
 from podtpu.shared.utils import now_as_str
 from podtpu.train import checkpoints as ckpt
 from podtpu.train.alrs import AdaptiveLearningRateScheduler
