@@ -107,11 +107,15 @@ def cli():
               help="Resume from the last epoch checkpoint if present")
 @click.option("--with-mask", is_flag=True, default=False,
               help="Train a Mask R-CNN head on polygon annotations")
+@click.option("--num-devices", type=int, default=None,
+              help="Data-parallel device count (default: all accelerator "
+                   "devices; batch-size is per device)")
 @add_options(server_options)
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          with_mask, server, username, password, image_root):
+                          with_mask, num_devices, server, username, password,
+                          image_root):
     from podtpu.core.config import Config
     from podtpu.train.train import train
 
@@ -137,7 +141,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
           output_dir=output_dir, name=model, batch_size=batch_size,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,
           optimiser=optimiser, config=cfg, pretrained=pretrained,
-          resume=resume, with_mask=with_mask)
+          resume=resume, with_mask=with_mask, num_devices=num_devices)
 
 
 @cli.command()

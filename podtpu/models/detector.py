@@ -90,11 +90,14 @@ class FasterRCNN(nn.Module):
 
         if train:
             assert gt is not None and rng is not None
+            # Per-image loss weight: zeroes the contribution of wrap-around
+            # duplicate images the static-shape loader pads batches with.
+            img_w = gt.get("image_weight")
             rng_rpn, rng_roi = jax.random.split(rng)
             obj_loss, rpn_box_loss = rpn_lib.rpn_losses(
                 rng_rpn, level_logits, level_deltas,
                 jnp.concatenate(level_anchors, axis=0),
-                gt["boxes"], gt["valid"], cfg)
+                gt["boxes"], gt["valid"], cfg, img_weight=img_w)
 
             roi_rngs = jax.random.split(rng_roi, b)
             sampled = jax.vmap(
@@ -109,7 +112,9 @@ class FasterRCNN(nn.Module):
                 pooled.reshape(b * s, *pooled.shape[2:]))
             flat_rois = jax.tree.map(
                 lambda x: x.reshape((b * s,) + x.shape[2:]), sampled)
-            cls_loss, box_loss = rh.box_head_losses(logits, deltas, flat_rois)
+            sw = None if img_w is None else jnp.repeat(img_w, s)
+            cls_loss, box_loss = rh.box_head_losses(logits, deltas, flat_rois,
+                                                    sample_weight=sw)
 
             losses = {
                 "loss_objectness": obj_loss,
@@ -119,7 +124,7 @@ class FasterRCNN(nn.Module):
             }
             if cfg.with_mask and "masks" in (gt or {}):
                 losses["loss_mask"] = self._mask_losses(box_levels, sampled,
-                                                        gt)
+                                                        gt, img_w)
             return losses
 
         # ---- inference ----------------------------------------------------
@@ -139,7 +144,7 @@ class FasterRCNN(nn.Module):
             return out, masks
         return out
 
-    def _mask_losses(self, box_levels, sampled, gt):
+    def _mask_losses(self, box_levels, sampled, gt, img_w=None):
         cfg = self.cfg
         b, s = sampled.boxes.shape[:2]
         pooled = rh.pool_rois_batched(box_levels, sampled.boxes, cfg,
@@ -159,7 +164,9 @@ class FasterRCNN(nn.Module):
             return rh.mask_loss(ml, rois, gt_flat, mask_geom, mask_stride, cfg)
 
         losses = jax.vmap(per_image)(mask_logits, sampled, gm)
-        return losses.mean()
+        if img_w is None:
+            return losses.mean()
+        return (losses * img_w).sum() / jnp.maximum(img_w.sum(), 1.0)
 
     def _predict_masks(self, box_levels, det: rh.Detections):
         cfg = self.cfg

@@ -120,6 +120,7 @@ def box_head_losses(
     logits: jnp.ndarray,
     deltas: jnp.ndarray,
     rois: SampledRois,
+    sample_weight: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Classification + regression loss for one batch of sampled RoIs.
 
@@ -129,6 +130,8 @@ def box_head_losses(
     """
     n, c = logits.shape
     w = rois.valid.astype(jnp.float32)
+    if sample_weight is not None:
+        w = w * sample_weight
     total = jnp.maximum(w.sum(), 1.0)
 
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -140,6 +143,8 @@ def box_head_losses(
         class_deltas, rois.cls_targets[:, None, None].astype(jnp.int32)
         .repeat(4, -1), axis=1)[:, 0]
     pw = (rois.is_pos & rois.valid).astype(jnp.float32)
+    if sample_weight is not None:
+        pw = pw * sample_weight
     l1 = smooth_l1(picked - rois.reg_targets, beta=1.0 / 9.0).sum(-1)
     box_loss = jnp.sum(l1 * pw) / total
     return cls_loss, box_loss

@@ -125,6 +125,7 @@ def rpn_losses(
     gt_boxes: jnp.ndarray,
     gt_valid: jnp.ndarray,
     cfg: ModelConfig,
+    img_weight: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """RPN objectness + box losses, batch-normalised like torchvision
     (sum over sampled anchors across the batch / total sampled).
@@ -159,6 +160,11 @@ def rpn_losses(
     rngs = jax.random.split(rng, batch)
     obj_sums, box_sums, counts = jax.vmap(per_image)(
         rngs, logits, deltas, gt_boxes, gt_valid)
+    if img_weight is not None:
+        # Zero out wrap-around duplicate images (loader batch_valid mask).
+        obj_sums = obj_sums * img_weight
+        box_sums = box_sums * img_weight
+        counts = counts * img_weight
     total = jnp.maximum(counts.sum(), 1.0)
     return obj_sums.sum() / total, box_sums.sum() / total
 

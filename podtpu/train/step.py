@@ -62,6 +62,8 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
         gt = {"boxes": boxes, "labels": labels, "valid": valid}
         if masks is not None:
             gt["masks"] = masks
+        if "image_weight" in batch:
+            gt["image_weight"] = batch["image_weight"]
 
         def loss_fn(params):
             losses = model.apply({"params": params, "frozen": state.frozen},

@@ -65,8 +65,17 @@ def train(project: Project,
           resume: bool = False,
           seed: int = 0,
           num_workers: int = 4,
-          with_mask: bool = False) -> str:
-    """Train a detector on ``project``; returns the model directory path."""
+          with_mask: bool = False,
+          num_devices: Optional[int] = None) -> str:
+    """Train a detector on ``project``; returns the model directory path.
+
+    ``batch_size`` is PER DEVICE (the reference's per-GPU semantics,
+    `engine/train.py:69-71`); the global batch is ``batch_size * num_devices``.
+    ``num_devices=None`` uses every local accelerator device (single device
+    on the CPU backend); the multi-device path is the shard_map DP step
+    (``podtpu.parallel.dp``), the reference's DDP recipe
+    (`engine/train.py:165-296`) expressed as one pjit-compiled program.
+    """
     # -- project fixup (reference training.py:27-32) -------------------------
     project = copy.deepcopy(project)
     if labels is not None:
@@ -114,9 +123,20 @@ def train(project: Project,
     print(f"- train: {len(train_idx)}")
     print(f"- test:  {len(test_idx)}")
 
-    loader_train = Loader(dataset, batch_size, indices=train_idx,
+    # -- device mesh ----------------------------------------------------------
+    if num_devices is None:
+        num_devices = len(jax.devices()) if jax.default_backend() != "cpu" \
+            else 1
+    num_devices = max(1, min(num_devices, len(jax.devices())))
+    use_dp = num_devices > 1
+    global_batch = batch_size * num_devices
+    if use_dp:
+        print(f"Data parallel over {num_devices} devices "
+              f"(global batch {global_batch})")
+
+    loader_train = Loader(dataset, global_batch, indices=train_idx,
                           shuffle=True, seed=seed, num_workers=num_workers)
-    loader_test = Loader(dataset, batch_size, indices=test_idx,
+    loader_test = Loader(dataset, global_batch, indices=test_idx,
                          shuffle=False, num_workers=num_workers)
 
     # -- model + optimizer ---------------------------------------------------
@@ -149,8 +169,16 @@ def train(project: Project,
             start_epoch = restored["epoch"] + 1
             print(f"Resumed from epoch {restored['epoch']}")
 
-    train_step = make_train_step(model, tx, cfg)
-    eval_step = make_eval_step(model)
+    shard_batch = None
+    if use_dp:
+        from podtpu.parallel.dp import (make_dp_eval_step, make_dp_train_step,
+                                        make_mesh)
+        mesh = make_mesh(jax.devices()[:num_devices])
+        train_step, shard_batch = make_dp_train_step(model, tx, cfg, mesh)
+        eval_step = make_dp_eval_step(model, mesh)
+    else:
+        train_step = make_train_step(model, tx, cfg)
+        eval_step = make_eval_step(model)
 
     # -- epoch loop (reference training.py:120-127) --------------------------
     print("=" * 80)
@@ -166,15 +194,26 @@ def train(project: Project,
         iters = len(loader_train)
         step_rngs = jax.random.split(
             jax.random.fold_in(loop_rng, epoch), max(iters, 1))
-        for it, (batch, _bvalid) in enumerate(
+        loss_sum = None  # device-side running sum; fetched once per epoch
+        for it, (batch, bvalid) in enumerate(
                 logger.log_every(loader_train, cfg.train.log_every,
                                  header=f"Epoch: [{epoch}]", total=iters)):
             if trace_dir and epoch == start_epoch and it == min(3, iters - 1):
                 jax.profiler.start_trace(trace_dir)
                 tracing = True
             lr = alrs.lr * warmup_factor(cfg, epoch, it, iters)
+            batch = dict(batch)
+            batch["image_weight"] = bvalid.astype(np.float32)
+            if shard_batch is not None:
+                batch = shard_batch(batch)
             state, metrics = train_step(state, batch, step_rngs[it],
                                         np.float32(lr))
+            # Accumulate the loss on device (tiny async adds): ALRS sees the
+            # TRUE epoch mean over every step, and the epoch costs a single
+            # host sync instead of one per log_every (reference averages
+            # every step, engine/utils.py SmoothedValue).
+            loss_sum = metrics["loss"] if loss_sum is None \
+                else loss_sum + metrics["loss"]
             if tracing and it >= min(3, iters - 1) + 3:
                 jax.profiler.stop_trace()
                 tracing = False
@@ -186,11 +225,15 @@ def train(project: Project,
                     print({k: v for k, v in host.items() if k != "lr"})
                     sys.exit(1)
                 logger.update(**host)
+        epoch_loss = float(loss_sum) / iters if loss_sum is not None else 0.0
+        if cfg.train.nan_is_fatal and not np.isfinite(epoch_loss):
+            print(f"Epoch loss is {epoch_loss}, stopping training")
+            sys.exit(1)
         evaluate(eval_step, state.params, state.frozen, loader_test,
                  num_classes=len(labels))
         # ALRS step BEFORE checkpointing so a resumed scheduler has this
         # epoch's loss in its buffer.
-        should_stop = alrs.step(epoch, logger.meters["loss"].global_avg)
+        should_stop = alrs.step(epoch, epoch_loss)
         ckpt.save_train_checkpoint(output_dir, state, epoch,
                                    alrs.state_dict())
         if should_stop:
@@ -198,8 +241,8 @@ def train(project: Project,
 
     print("-" * 80)
     print(f"Training finished, {epoch + 1} epochs")
-    _, stats = evaluate(eval_step, state.params, state.frozen, loader_test,
-                        num_classes=len(labels))
+    final_eval, stats = evaluate(eval_step, state.params, state.frozen,
+                                 loader_test, num_classes=len(labels))
     print("=" * 80)
 
     # -- artifacts (reference training.py:135-160) ---------------------------
@@ -209,4 +252,7 @@ def train(project: Project,
                         labels)
         ckpt.save_labels(output_dir, labels)
         ckpt.save_results(output_dir, stats, STAT_NAMES)
+        if getattr(final_eval, "segm_stats", None) is not None:
+            ckpt.save_results(output_dir, final_eval.segm_stats, STAT_NAMES,
+                              filename="results_segm.txt")
     return output_dir
