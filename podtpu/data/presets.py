@@ -64,51 +64,50 @@ def hflip_policy(rng, image, boxes, valid, masks=None):
 
 
 def lsj_policy(rng, image, boxes, valid, masks=None):
-    _no_masks("lsj", masks)
     k1, k2 = jax.random.split(rng)
-    image, boxes = T.scale_jitter(k1, image, boxes, (0.1, 2.0))
-    image, boxes, _ = _flips(k2, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid), None
+    image, boxes, masks = T.scale_jitter(k1, image, boxes, (0.1, 2.0),
+                                         masks=masks)
+    image, boxes, masks = _flips(k2, image, boxes, vflip_prob=0.0,
+                                 masks=masks)
+    return image, boxes, _revalidate(boxes, valid), masks
 
 
 def multiscale_policy(rng, image, boxes, valid, masks=None):
-    _no_masks("multiscale", masks)
     k1, k2 = jax.random.split(rng)
-    image, boxes = T.scale_jitter(k1, image, boxes, (0.5, 1.25))
-    image, boxes, _ = _flips(k2, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid), None
+    image, boxes, masks = T.scale_jitter(k1, image, boxes, (0.5, 1.25),
+                                         masks=masks)
+    image, boxes, masks = _flips(k2, image, boxes, vflip_prob=0.0,
+                                 masks=masks)
+    return image, boxes, _revalidate(boxes, valid), masks
 
 
 def ssd_policy(rng, image, boxes, valid, masks=None):
-    _no_masks("ssd", masks)
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     image = T.photometric_distort(k1, image)
     do_zoom = jax.random.uniform(k2) < 0.5
-    zimg, zbox = T.zoom_out(k3, image, boxes)
+    zimg, zbox, zmask = T.zoom_out(k3, image, boxes, masks=masks)
     image = jnp.where(do_zoom, zimg, image)
     boxes = jnp.where(do_zoom, zbox, boxes)
-    image, boxes, valid = T.iou_crop(k4, image, boxes, valid)
-    image, boxes, _ = _flips(k5, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid), None
+    if masks is not None:
+        masks = jnp.where(do_zoom, zmask, masks)
+    image, boxes, valid, masks = T.iou_crop(k4, image, boxes, valid,
+                                            masks=masks)
+    image, boxes, masks = _flips(k5, image, boxes, vflip_prob=0.0,
+                                 masks=masks)
+    return image, boxes, _revalidate(boxes, valid), masks
 
 
 def ssdlite_policy(rng, image, boxes, valid, masks=None):
-    _no_masks("ssdlite", masks)
     k1, k2 = jax.random.split(rng)
-    image, boxes, valid = T.iou_crop(k1, image, boxes, valid)
-    image, boxes, _ = _flips(k2, image, boxes, vflip_prob=0.0)
-    return image, boxes, _revalidate(boxes, valid), None
+    image, boxes, valid, masks = T.iou_crop(k1, image, boxes, valid,
+                                            masks=masks)
+    image, boxes, masks = _flips(k2, image, boxes, vflip_prob=0.0,
+                                 masks=masks)
+    return image, boxes, _revalidate(boxes, valid), masks
 
 
 def none_policy(rng, image, boxes, valid, masks=None):
     return image, boxes, valid, masks
-
-
-def _no_masks(name, masks):
-    if masks is not None:
-        raise NotImplementedError(
-            f"policy {name!r} does not transform mask targets yet; use "
-            "'miso', 'hflip' or 'none' for Mask R-CNN training")
 
 
 def _revalidate(boxes, valid):

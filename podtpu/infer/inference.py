@@ -69,7 +69,9 @@ def _run_inference(project: Project, model_dir: str,
     out.task_names = dict(project.task_names)
     for batch, batch_valid in loader:
         result = eval_step(params, frozen, batch["image"])
-        det = result if hasattr(result, "boxes") else result[0]
+        has_masks = not hasattr(result, "boxes")
+        det = result if not has_masks else result[0]
+        dt_masks = np.asarray(result[1]) if has_masks else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -80,14 +82,48 @@ def _run_inference(project: Project, model_dir: str,
             meta = dataset.images[int(batch["index"][i])]
             scale = float(batch["scale"][i])
             keep = valid[i] & (scores[i] > threshold)
-            for b, s, l in zip(boxes[i][keep] / scale, scores[i][keep],
-                               labels[i][keep]):
-                meta.boxes.append(RectangleAnnotation(
-                    float(b[0]), float(b[1]),
-                    float(b[2] - b[0]), float(b[3] - b[1]),
-                    model_labels[int(l) - 1], score=float(s)))
+            keep_idx = np.flatnonzero(keep)
+            for j, b, s, l in zip(keep_idx, boxes[i][keep] / scale,
+                                  scores[i][keep], labels[i][keep]):
+                ann = None
+                if dt_masks is not None:
+                    # Mask models emit polygon contours (the reference's
+                    # infer drops masks entirely; CVAT accepts polygons).
+                    ann = _mask_to_annotation(
+                        dt_masks[i][j], b, model_labels[int(l) - 1],
+                        float(s))
+                if ann is None:
+                    ann = RectangleAnnotation(
+                        float(b[0]), float(b[1]),
+                        float(b[2] - b[0]), float(b[3] - b[1]),
+                        model_labels[int(l) - 1], score=float(s))
+                meta.boxes.append(ann)
             out.add_image(meta)
     return out
+
+
+def _mask_to_annotation(mask: np.ndarray, box_orig: np.ndarray, label: str,
+                        score: float, max_grid: int = 256):
+    """Predicted box-local mask -> PolygonAnnotation in original-image
+    coordinates (largest connected component); None if the mask is empty."""
+    from podtpu.data.annotation import PolygonAnnotation
+    from podtpu.infer.masks import mask_to_polygons, paste_mask
+
+    x0, y0, x1, y1 = [float(v) for v in box_orig]
+    bw, bh = x1 - x0, y1 - y0
+    if bw <= 0 or bh <= 0:
+        return None
+    # Trace on a local grid at roughly original-pixel resolution (capped).
+    gw = int(np.clip(np.ceil(bw), 2, max_grid))
+    gh = int(np.clip(np.ceil(bh), 2, max_grid))
+    local = paste_mask(mask, np.array([0.0, 0.0, gw, gh]), gh, gw)
+    polys = mask_to_polygons(local)
+    if not polys:
+        return None
+    poly = polys[0]
+    xs = x0 + (poly[:, 0] + 0.5) * bw / gw
+    ys = y0 + (poly[:, 1] + 0.5) * bh / gh
+    return PolygonAnnotation(xs.tolist(), ys.tolist(), label, score=score)
 
 
 def infer(project: Project,

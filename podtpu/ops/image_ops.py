@@ -153,11 +153,26 @@ def scale_and_place(image: jnp.ndarray, boxes: jnp.ndarray,
     return out, nboxes
 
 
+def scale_and_place_masks(masks: jnp.ndarray, scale, tx, ty,
+                          image_h: int, image_w: int) -> jnp.ndarray:
+    """Apply the same geometric transform to ``[G, mh, mw]`` gt mask bitmaps
+    (the mask grid is the canvas at ``mask_stride``; the translation is
+    given in IMAGE pixels and converted to grid units).  Counterpart of the
+    reference's transforms carrying the "masks" target through geometric ops
+    (`engine/transforms.py:311-436`)."""
+    g, mh, mw = masks.shape
+    return jax.image.scale_and_translate(
+        masks, (g, mh, mw), (1, 2),
+        jnp.stack([scale, scale]),
+        jnp.stack([ty * mh / image_h, tx * mw / image_w]),
+        method="linear", antialias=False)
+
+
 def scale_jitter(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
-                 scale_range: Tuple[float, float] = (0.1, 2.0)):
+                 scale_range: Tuple[float, float] = (0.1, 2.0), masks=None):
     """Large-scale jitter (the reference's ScaleJitter,
     engine/transforms.py:311-361): random global rescale on the fixed
-    canvas; boxes follow and clip."""
+    canvas; boxes (and masks) follow; boxes clip."""
     h, w = image.shape[0], image.shape[1]
     s = jax.random.uniform(rng, (), minval=scale_range[0],
                            maxval=scale_range[1])
@@ -166,11 +181,13 @@ def scale_jitter(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     y1 = jnp.clip(bxs[..., 1], 0, h)
     x2 = jnp.clip(bxs[..., 2], 0, w)
     y2 = jnp.clip(bxs[..., 3], 0, h)
-    return img, jnp.stack([x1, y1, x2, y2], axis=-1)
+    if masks is not None:
+        masks = scale_and_place_masks(masks, s, 0.0, 0.0, h, w)
+    return img, jnp.stack([x1, y1, x2, y2], axis=-1), masks
 
 
 def zoom_out(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
-             side_range: Tuple[float, float] = (1.0, 4.0)):
+             side_range: Tuple[float, float] = (1.0, 4.0), masks=None):
     """Random zoom-out (the reference's RandomZoomOut,
     engine/transforms.py:188-248): shrink the content by 1/r and place it at
     a random offset on the canvas (zero fill)."""
@@ -181,11 +198,14 @@ def zoom_out(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     s = 1.0 / r
     tx = jax.random.uniform(kx, ()) * (w - w * s)
     ty = jax.random.uniform(ky, ()) * (h - h * s)
-    return scale_and_place(image, boxes, s, tx, ty)
+    img, bxs = scale_and_place(image, boxes, s, tx, ty)
+    if masks is not None:
+        masks = scale_and_place_masks(masks, s, tx, ty, h, w)
+    return img, bxs, masks
 
 
 def iou_crop(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
-             valid: jnp.ndarray, trials: int = 20):
+             valid: jnp.ndarray, trials: int = 20, masks=None):
     """SSD-style jaccard-constrained random crop (the reference's
     RandomIoUCrop, engine/transforms.py:101-185), vectorised: sample
     ``trials`` candidate crops, keep the first whose IoU with some gt box
@@ -234,7 +254,10 @@ def iou_crop(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     y2 = jnp.clip(bxs[..., 3], 0, h)
     nboxes = jnp.stack([x1, y1, x2, y2], axis=-1)
     keep = jnp.where(do_crop, inside[first], valid)
-    return img, nboxes, keep & valid
+    if masks is not None:
+        masks = scale_and_place_masks(masks, scale, tx, ty,
+                                      image.shape[0], image.shape[1])
+    return img, nboxes, keep & valid, masks
 
 
 def copy_paste_batch(rng: jax.Array, images: jnp.ndarray,

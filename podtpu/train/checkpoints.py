@@ -74,10 +74,12 @@ def read_labels(path: str) -> list:
     return labels
 
 
-def save_results(out_dir: str, stats, stat_names) -> None:
+def save_results(out_dir: str, stats, stat_names,
+                 filename: str = "results.txt") -> None:
     """``results.txt`` with the reference's 12-stat block
-    (`training.py:144-160`)."""
-    with open(os.path.join(out_dir, "results.txt"), "w") as fp:
+    (`training.py:144-160`); mask models additionally persist the segm
+    block as ``results_segm.txt``."""
+    with open(os.path.join(out_dir, filename), "w") as fp:
         for name, stat in zip(stat_names, stats):
             fp.write(f"{name} = {stat:.3f}\n")
 

@@ -79,9 +79,12 @@ class COCOEvaluator:
     """
 
     def __init__(self, num_classes: int,
-                 max_dets: Sequence[int] = (10, 30, 300)):
+                 max_dets: Sequence[int] = (10, 30, 300),
+                 iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm")
         self.num_classes = num_classes  # foreground classes, labels 1..K
         self.max_dets = tuple(max_dets)
+        self.iou_type = iou_type
         # evals[(class, area)] -> list of _ImageEval (one per image, at the
         # largest maxDets; smaller maxDets re-slice at accumulate time).
         self._evals: Dict[Tuple[int, str], List[_ImageEval]] = {}
@@ -93,29 +96,52 @@ class COCOEvaluator:
 
     def update(self, gt_boxes: np.ndarray, gt_labels: np.ndarray,
                dt_boxes: np.ndarray, dt_scores: np.ndarray,
-               dt_labels: np.ndarray) -> None:
-        """Add one image's ground truth + detections."""
+               dt_labels: np.ndarray,
+               gt_masks: Optional[np.ndarray] = None,
+               dt_masks: Optional[np.ndarray] = None,
+               area_scale: float = 1.0) -> None:
+        """Add one image's ground truth + detections.
+
+        For ``iou_type="segm"`` (the reference's mask evaluation,
+        `engine/engine.py:65-74` + RLE encode `coco_eval.py:110-114`):
+        ``gt_masks``/``dt_masks`` are ``[G|D, H, W]`` boolean bitmaps on a
+        COMMON grid; IoU and object areas come from the masks, with
+        ``area_scale`` converting grid px^2 to original-image px^2 (COCO
+        area ranges are defined in image pixels).
+        """
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
         dt_boxes = np.asarray(dt_boxes, np.float64).reshape(-1, 4)
         gt_labels = np.asarray(gt_labels).reshape(-1)
         dt_labels = np.asarray(dt_labels).reshape(-1)
         dt_scores = np.asarray(dt_scores, np.float64).reshape(-1)
 
-        gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
-                  (gt_boxes[:, 3] - gt_boxes[:, 1])
-        dt_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * \
-                  (dt_boxes[:, 3] - dt_boxes[:, 1])
+        segm = self.iou_type == "segm"
+        if segm:
+            assert gt_masks is not None and dt_masks is not None
+            gt_masks = np.asarray(gt_masks).astype(bool)
+            dt_masks = np.asarray(dt_masks).astype(bool)
+            gt_area = gt_masks.reshape(len(gt_labels), -1).sum(1) * area_scale
+            dt_area = dt_masks.reshape(len(dt_labels), -1).sum(1) * area_scale
+        else:
+            gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
+                      (gt_boxes[:, 3] - gt_boxes[:, 1])
+            dt_area = (dt_boxes[:, 2] - dt_boxes[:, 0]) * \
+                      (dt_boxes[:, 3] - dt_boxes[:, 1])
 
         for k in range(1, self.num_classes + 1):
             g_sel = gt_labels == k
             d_sel = dt_labels == k
-            g_box, g_area = gt_boxes[g_sel], gt_area[g_sel]
-            d_box, d_area = dt_boxes[d_sel], dt_area[d_sel]
+            g_area = gt_area[g_sel]
+            d_area = dt_area[d_sel]
             d_score = dt_scores[d_sel]
             # Detections in descending score order, capped at max maxDets.
             order = np.argsort(-d_score, kind="stable")[: max(self.max_dets)]
-            d_box, d_area, d_score = d_box[order], d_area[order], d_score[order]
-            iou = pairwise_iou(d_box, g_box)
+            d_area, d_score = d_area[order], d_score[order]
+            if segm:
+                from podtpu.infer.masks import mask_iou
+                iou = mask_iou(dt_masks[d_sel][order], gt_masks[g_sel])
+            else:
+                iou = pairwise_iou(dt_boxes[d_sel][order], gt_boxes[g_sel])
             for aname, (lo, hi) in AREA_RANGES.items():
                 g_ig = (g_area < lo) | (g_area > hi)
                 self._evals[(k, aname)].append(

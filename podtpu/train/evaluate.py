@@ -21,21 +21,35 @@ from podtpu.train.coco_metrics import COCOEvaluator
 
 def evaluate(eval_step, params, frozen, loader, num_classes: int,
              verbose: bool = True) -> Tuple[COCOEvaluator, List[float]]:
-    """Returns (evaluator, the 12 COCO stats)."""
+    """Returns (evaluator, the 12 COCO stats).
+
+    When the model predicts masks AND the loader's batches carry gt mask
+    bitmaps, a segm evaluator runs alongside bbox (the reference's
+    iou_types, `miso/object_detection/engine/engine.py:65-74`); its stats
+    are exposed as ``evaluator.segm`` / ``evaluator.segm_stats``.
+    """
     evaluator = COCOEvaluator(num_classes=num_classes)
+    segm_eval = None
     model_time = 0.0
     n_images = 0
     for batch, batch_valid in loader:
         t0 = time.time()
         out = eval_step(params, frozen, batch["image"])
         # Mask models return (Detections, masks); box models the NamedTuple.
-        det = out if hasattr(out, "boxes") else out[0]
+        has_masks = not hasattr(out, "boxes")
+        det = out if not has_masks else out[0]
         det_np = {
             "boxes": np.asarray(det.boxes),
             "scores": np.asarray(det.scores),
             "labels": np.asarray(det.labels),
             "valid": np.asarray(det.valid),
         }
+        do_segm = has_masks and "masks" in batch
+        if do_segm:
+            dt_masks = np.asarray(out[1])  # [B, D, M, M] probabilities
+            if segm_eval is None:
+                segm_eval = COCOEvaluator(num_classes=num_classes,
+                                          iou_type="segm")
         model_time += time.time() - t0
         for i, ok in enumerate(batch_valid):
             if not ok:
@@ -50,11 +64,33 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
                 dt_scores=det_np["scores"][i][dv],
                 dt_labels=det_np["labels"][i][dv],
             )
+            if do_segm:
+                from podtpu.infer.masks import paste_masks
+                gm = batch["masks"][i][gv] > 0.5      # [Gv, Hm, Wm]
+                hm, wm = gm.shape[-2:]
+                stride = batch["image"].shape[1] / hm
+                dm = paste_masks(dt_masks[i][dv],
+                                 det_np["boxes"][i][dv] / stride,
+                                 hm, wm) > 0.5
+                segm_eval.update(
+                    gt_boxes=batch["boxes"][i][gv] / scale,
+                    gt_labels=batch["labels"][i][gv],
+                    dt_boxes=det_np["boxes"][i][dv] / scale,
+                    dt_scores=det_np["scores"][i][dv],
+                    dt_labels=det_np["labels"][i][dv],
+                    gt_masks=gm, dt_masks=dm,
+                    area_scale=(stride / scale) ** 2,
+                )
             n_images += 1
     stats = evaluator.summarize()
+    evaluator.segm = segm_eval
+    evaluator.segm_stats = segm_eval.summarize() if segm_eval else None
     if verbose and is_main_process():
         print(f"Evaluated {n_images} images "
               f"(model time {model_time:.2f}s)")
         print("IoU metric: bbox")
         print(evaluator.summary_text())
+        if segm_eval is not None:
+            print("IoU metric: segm")
+            print(segm_eval.summary_text())
     return evaluator, stats

@@ -75,3 +75,8 @@ class TestMaskTrainE2E:
         params, frozen, model_cfg, labels = load_model(out)
         assert model_cfg.with_mask
         assert "mask_head" in params
+        # Segm COCO metrics ran and were persisted alongside bbox results.
+        assert os.path.exists(os.path.join(out, "results_segm.txt"))
+        with open(os.path.join(out, "results_segm.txt")) as fp:
+            lines = fp.read().strip().splitlines()
+        assert len(lines) == 12

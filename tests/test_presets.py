@@ -44,24 +44,62 @@ class TestTransforms:
     def test_scale_jitter_boxes_follow(self):
         img, boxes, _ = sample_image()
         # Deterministic scale via fixed key; just check invariants.
-        jimg, jbox = T.scale_jitter(jax.random.key(0), img, boxes)
+        jimg, jbox, _ = T.scale_jitter(jax.random.key(0), img, boxes)
         assert jimg.shape == img.shape
         assert float(jbox.min()) >= 0.0
         assert float(jbox.max()) <= 64.0
 
     def test_zoom_out_shrinks_boxes(self):
         img, boxes, _ = sample_image()
-        zimg, zbox = T.zoom_out(jax.random.key(1), img, boxes, (2.0, 2.0))
+        zimg, zbox, _ = T.zoom_out(jax.random.key(1), img, boxes, (2.0, 2.0))
         w0 = float(boxes[0, 2] - boxes[0, 0])
         w1 = float(zbox[0, 2] - zbox[0, 0])
         assert w1 == pytest.approx(w0 / 2, rel=1e-3)
 
     def test_iou_crop_valid_masks(self):
         img, boxes, valid = sample_image()
-        cimg, cbox, cvalid = T.iou_crop(jax.random.key(2), img, boxes, valid)
+        cimg, cbox, cvalid, _ = T.iou_crop(jax.random.key(2), img, boxes,
+                                           valid)
         assert cimg.shape == img.shape
         assert cvalid.shape == valid.shape
         assert float(cbox.min()) >= 0.0
+
+    def test_masks_follow_geometry(self):
+        """A gt mask bitmap tracks its box through zoom-out exactly: the
+        resampled mask's bounding box matches the transformed gt box (on the
+        half-resolution mask grid)."""
+        img, _, _ = sample_image()
+        boxes = jnp.asarray([[16, 16, 48, 48]], jnp.float32)
+        masks = jnp.zeros((1, 32, 32), jnp.float32).at[0, 8:24, 8:24].set(1.0)
+        zimg, zbox, zmask = T.zoom_out(jax.random.key(5), img, boxes,
+                                       (2.0, 2.0), masks=masks)
+        on = np.argwhere(np.asarray(zmask[0]) > 0.5)
+        assert len(on) > 0
+        (y0, x0), (y1, x1) = on.min(0), on.max(0)
+        # Mask grid is stride 2: grid bbox ~= box / 2 (within a pixel).
+        bx = np.asarray(zbox[0]) / 2.0
+        assert abs(x0 - bx[0]) <= 1.5 and abs(y0 - bx[1]) <= 1.5
+        assert abs(x1 + 1 - bx[2]) <= 1.5 and abs(y1 + 1 - bx[3]) <= 1.5
+
+    def test_lsj_policy_carries_masks(self):
+        img, boxes, valid = sample_image()
+        masks = jnp.zeros((2, 32, 32), jnp.float32).at[0, 5:15, 10:15].set(1.0)
+        fn = get_policy("lsj")
+        oi, ob, ov, om = augment_batch_policy(
+            fn, jax.random.key(1), img[None], boxes[None], valid[None],
+            masks=masks[None])
+        assert om is not None and om.shape == (1, 2, 32, 32)
+        assert np.isfinite(np.asarray(om)).all()
+
+    @pytest.mark.parametrize("name", ["multiscale", "ssd", "ssdlite"])
+    def test_geometric_policies_accept_masks(self, name):
+        img, boxes, valid = sample_image()
+        masks = jnp.zeros((2, 32, 32), jnp.float32).at[1, 4:12, 20:30].set(1.0)
+        fn = get_policy(name)
+        oi, ob, ov, om = augment_batch_policy(
+            fn, jax.random.key(2), img[None], boxes[None], valid[None],
+            masks=masks[None])
+        assert om is not None and om.shape == (1, 2, 32, 32)
 
     def test_photometric_preserves_shape_and_range(self):
         img, _, _ = sample_image()
