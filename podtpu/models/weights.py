@@ -36,6 +36,13 @@ def _dense(w) -> np.ndarray:
     return np.transpose(np.asarray(w), (1, 0))
 
 
+def _deconv(w) -> np.ndarray:
+    """torch ConvTranspose2d [in, out, kH, kW] -> flax ConvTranspose HWIO
+    [kH, kW, in, out] with flipped spatial taps."""
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1])
+
+
 def _bottleneck_names(tv_prefix: str, ours_prefix: str, num_blocks: int):
     """Map torchvision layerX.B.{...} to our layerX_B modules."""
     out = {}
@@ -102,9 +109,12 @@ def torchvision_key_map() -> Dict[str, Tuple[str, str, callable]]:
                                    _conv)
             m[f"{cand}.bias"] = ("params", f"mask_head/conv{i}/bias",
                                  np.asarray)
+    # torch ConvTranspose2d stores [in, out, kH, kW] and computes the true
+    # conv gradient; flax ConvTranspose (no transpose_kernel) wants HWIO
+    # [kH, kW, in, out] with the SPATIAL taps flipped (verified numerically
+    # against torch in tests/test_weights.py).
     m["roi_heads.mask_predictor.conv5_mask.weight"] = (
-        "params", "mask_head/deconv/kernel",
-        lambda w: np.transpose(np.asarray(w), (2, 3, 1, 0)))
+        "params", "mask_head/deconv/kernel", _deconv)
     m["roi_heads.mask_predictor.conv5_mask.bias"] = (
         "params", "mask_head/deconv/bias", np.asarray)
     m["roi_heads.mask_predictor.mask_fcn_logits.weight"] = (
@@ -142,10 +152,17 @@ def _set_path(tree: dict, path: str, value: np.ndarray) -> bool:
 
 
 def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
-                                   verbose: bool = False) -> Dict:
+                                   verbose: bool = False,
+                                   return_stats: bool = False):
     """Copy matching weights from a torchvision state_dict into ``variables``
     (a dict with 'params' and 'frozen' trees).  Returns the updated copy;
-    shape-mismatched heads are left at their fresh initialisation."""
+    shape-mismatched heads are left at their fresh initialisation.
+
+    With ``return_stats`` also returns ``(loaded_count, skipped_keys)`` so
+    callers can assert import completeness (a COCO
+    ``fasterrcnn_resnet50_fpn`` checkpoint should load everything except the
+    class-count-dependent predictor heads).
+    """
     import jax
 
     out = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
@@ -168,6 +185,8 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
               f"{len(skipped)} skipped")
         for k in skipped[:20]:
             print(f"  skipped: {k}")
+    if return_stats:
+        return out, (loaded, skipped)
     return out
 
 

@@ -34,7 +34,7 @@ def torch_layout_inverse(path_value, transform_name):
 
 def make_fake_state_dict(variables):
     """A state_dict covering every mappable key, with recognisable values."""
-    from podtpu.models.weights import _conv, _dense
+    from podtpu.models.weights import _conv, _deconv, _dense
 
     sd = {}
     rng = np.random.default_rng(0)
@@ -58,7 +58,11 @@ def make_fake_state_dict(variables):
         if not ok:
             continue
         target = rng.normal(size=np.asarray(node).shape).astype(np.float32)
-        if transform is _conv:
+        if transform is _deconv:
+            # ours [kH, kW, in, out] flipped -> torch [in, out, kH, kW]
+            sd[torch_key] = np.ascontiguousarray(
+                np.transpose(target[::-1, ::-1], (2, 3, 0, 1)))
+        elif transform is _conv:
             sd[torch_key] = torch_layout_inverse(target, "conv")
         elif transform is _dense:
             if torch_key == "roi_heads.box_head.fc6.weight":
@@ -127,6 +131,72 @@ class TestWeightImport:
         before = np.asarray(variables["params"]["box_head"]["cls"]["kernel"])
         out = convert_torchvision_state_dict(sd, variables)
         assert np.allclose(out["params"]["box_head"]["cls"]["kernel"], before)
+
+    def test_deconv_mapping_matches_torch_numerically(self):
+        """flax ConvTranspose with the _deconv-mapped kernel == torch
+        ConvTranspose2d, on real numbers (not just shapes)."""
+        torch = pytest.importorskip("torch")
+        from flax import linen as nn
+        from podtpu.models.weights import _deconv
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 3, 5, 5)).astype(np.float32)   # NCHW
+        w = rng.normal(size=(3, 4, 2, 2)).astype(np.float32)   # in,out,kH,kW
+        tconv = torch.nn.ConvTranspose2d(3, 4, 2, stride=2, bias=False)
+        tconv.weight.data = torch.from_numpy(w)
+        want = tconv(torch.from_numpy(x)).detach().numpy()
+
+        class F(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.ConvTranspose(4, (2, 2), strides=(2, 2),
+                                        use_bias=False, name="d")(x)
+
+        got = F().apply({"params": {"d": {"kernel": jnp.asarray(_deconv(w))}}},
+                        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_real_pth_roundtrip_coco_shapes(self, variables, tmp_path):
+        """Serialise a COCO-shaped (91-class) state_dict with torch.save and
+        run it through ``load_pretrained`` — the exact user journey with the
+        reference's preloaded checkpoint (`/root/reference/Dockerfile:5`).
+        Every backbone/FPN/RPN/box-MLP tensor must import; only the
+        class-count-dependent predictor heads may be skipped."""
+        torch = pytest.importorskip("torch")
+        from podtpu.models.weights import (convert_torchvision_state_dict,
+                                           load_pretrained)
+
+        sd = make_fake_state_dict(variables)
+        # COCO head shapes (91 classes), as in the real checkpoint.
+        sd["roi_heads.box_predictor.cls_score.weight"] = \
+            np.zeros((91, 1024), np.float32)
+        sd["roi_heads.box_predictor.cls_score.bias"] = \
+            np.zeros((91,), np.float32)
+        sd["roi_heads.box_predictor.bbox_pred.weight"] = \
+            np.zeros((91 * 4, 1024), np.float32)
+        sd["roi_heads.box_predictor.bbox_pred.bias"] = \
+            np.zeros((91 * 4,), np.float32)
+        tsd = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+        path = tmp_path / "fasterrcnn_resnet50_fpn_coco.pth"
+        torch.save(tsd, str(path))
+
+        out = load_pretrained(variables, str(path), verbose=False)
+        # Backbone conv survived the torch round trip bit-exactly.
+        got = out["params"]["backbone"]["conv1"]["kernel"]
+        want = np.transpose(sd["backbone.body.conv1.weight"], (2, 3, 1, 0))
+        assert np.allclose(got, want)
+
+        # Import completeness: nothing skipped except the 4 predictor heads.
+        _, (loaded, skipped) = convert_torchvision_state_dict(
+            {k: np.asarray(v) for k, v in sd.items()}, variables,
+            return_stats=True)
+        head_keys = {k for k in skipped if "box_predictor" in k}
+        assert len(head_keys) == 4
+        non_head = [k for k in skipped if "box_predictor" not in k]
+        assert non_head == [], f"unexpectedly skipped: {non_head}"
+        assert loaded == len(sd) - 4
 
     def test_forward_runs_with_imported_weights(self, variables):
         sd = make_fake_state_dict(variables)
