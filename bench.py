@@ -6,6 +6,12 @@ Set BENCH_METRIC=tiles to instead measure the auto-annotation path's tile
 throughput (batched eval forward at the tiled-inference shape) — the north
 star's "auto-annotate tiles/sec" metric.
 
+Set BENCH_METRIC=e2e to measure END-TO-END training throughput including
+the host pipeline: JPEG decode + resize + batch assembly through
+``podtpu.data.loader.Loader`` feeding the same jitted train step (VERDICT
+weak #2: the synthetic-batch number could hide a loader bottleneck).  Also
+reports the loader-wait fraction.
+
 Baseline: the reference publishes no numbers (BASELINE.md) — the comparison
 anchor is the estimated single-A100 throughput of the reference's de-facto
 operating point (torchvision Faster R-CNN R50-FPN fine-tune). Public
@@ -62,11 +68,98 @@ def bench_tiles():
     t_long = min(run(12) for _ in range(2))
     per_step = max((t_long - t_short) / 10, 1e-9)
     tiles_per_sec = BATCH / per_step
+    # Per-batch p50 latency (includes the ~30ms tunnel RPC on remote-TPU
+    # setups; the throughput number above uses slope timing to cancel it).
+    lat = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        det = eval_step(params, frozen, tiles)
+        _ = float(det.scores.sum())
+        lat.append(time.perf_counter() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
     print(json.dumps({
         "metric": "auto_annotate_tiles_per_sec_1024",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/sec",
         "vs_baseline": round(tiles_per_sec / A100_BASELINE_TILES_PER_SEC, 3),
+        "p50_batch_ms": round(p50_ms, 1),
+    }))
+
+
+def bench_e2e():
+    """Loader-included training throughput on a synthetic on-disk dataset."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from podtpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+    from podtpu.data.dataset import DetectionDataset
+    from podtpu.data.loader import Loader
+    from podtpu.models.detector import FasterRCNN, init_variables
+    from podtpu.train.optim import make_optimizer
+    from podtpu.train.step import create_train_state, make_train_step
+    from tests.synthetic import make_project
+
+    n_images = int(os.environ.get("BENCH_E2E_IMAGES", "48"))
+    root = tempfile.mkdtemp(prefix="podtpu_bench_")
+    project = make_project(root, num_images=n_images,
+                           image_size=(CANVAS, CANVAS), max_boxes=8)
+
+    model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
+                            compute_dtype="bfloat16")
+    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
+                 data=DataConfig())
+    dataset = DetectionDataset(project, image_size=model_cfg.image_size,
+                               max_gt=model_cfg.max_gt_boxes)
+    loader = Loader(dataset, BATCH, shuffle=True, num_workers=4, prefetch=3)
+
+    model = FasterRCNN(cfg=model_cfg)
+    variables = init_variables(model, jax.random.key(0))
+    tx = make_optimizer(cfg.train, cfg.model)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, cfg)
+    key = jax.random.key(1)
+    lr = np.float32(0.005)
+
+    # Warmup epoch: compiles + fills caches.
+    metrics = None
+    for it, (batch, bvalid) in enumerate(loader):
+        batch["image_weight"] = bvalid.astype(np.float32)
+        state, metrics = step(state, batch, jax.random.fold_in(key, it), lr)
+        if it >= 2:
+            break
+    _ = float(metrics["loss"])
+
+    # Timed epochs: wall time + loader-wait split.
+    epochs = 2
+    t_start = time.perf_counter()
+    wait = 0.0
+    n = 0
+    for ep in range(epochs):
+        loader.set_epoch(ep + 1)
+        it = iter(loader)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                batch, bvalid = next(it)
+            except StopIteration:
+                break
+            wait += time.perf_counter() - t0
+            batch["image_weight"] = bvalid.astype(np.float32)
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(key, 100 + n), lr)
+            n += BATCH
+    _ = float(metrics["loss"])  # drain the device pipeline
+    total = time.perf_counter() - t_start
+    img_per_sec = n / total
+    print(json.dumps({
+        "metric": "train_images_per_sec_e2e_b4_1024",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+        "loader_wait_frac": round(wait / total, 3),
     }))
 
 
@@ -142,5 +235,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_METRIC") == "tiles":
         bench_tiles()
+    elif os.environ.get("BENCH_METRIC") == "e2e":
+        bench_e2e()
     else:
         main()

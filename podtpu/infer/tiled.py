@@ -42,24 +42,34 @@ def tile_origins(size: int, tile: int, stride: int) -> List[int]:
 
 def greedy_nms(boxes: np.ndarray, scores: np.ndarray,
                iou_threshold: float) -> np.ndarray:
-    """Host-side greedy NMS; returns kept indices in score order."""
+    """Host-side greedy NMS, vectorised: each kept box suppresses its
+    overlaps with one O(N) vector pass, so total cost is
+    O(num_kept * N) numpy ops — dense scans with thousands of detections
+    merge in milliseconds (the round-1 pure-Python double loop was O(N^2)
+    scalar ops)."""
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0,), np.int64)
     order = np.argsort(-scores, kind="stable")
+    b = boxes[order].astype(np.float32)
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    alive = np.ones(n, bool)
     keep: List[int] = []
-    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    for i in order:
-        ok = True
-        for j in keep:
-            x1 = max(boxes[i, 0], boxes[j, 0])
-            y1 = max(boxes[i, 1], boxes[j, 1])
-            x2 = min(boxes[i, 2], boxes[j, 2])
-            y2 = min(boxes[i, 3], boxes[j, 3])
-            inter = max(x2 - x1, 0.0) * max(y2 - y1, 0.0)
-            union = areas[i] + areas[j] - inter
-            if union > 0 and inter / union > iou_threshold:
-                ok = False
-                break
-        if ok:
-            keep.append(i)
+    for i in range(n):
+        if not alive[i]:
+            continue
+        keep.append(int(order[i]))
+        if i + 1 == n:
+            break
+        rest = b[i + 1:]
+        x1 = np.maximum(b[i, 0], rest[:, 0])
+        y1 = np.maximum(b[i, 1], rest[:, 1])
+        x2 = np.minimum(b[i, 2], rest[:, 2])
+        y2 = np.minimum(b[i, 3], rest[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        union = areas[i] + areas[i + 1:] - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        alive[i + 1:] &= iou <= iou_threshold
     return np.asarray(keep, np.int64)
 
 
@@ -117,9 +127,11 @@ def infer_tiled(
     for start in range(0, len(origins), batch_size):
         chunk = origins[start: start + batch_size]
         batch = np.zeros((batch_size, tile, tile, 3), np.float32)
+        extents = []
         for bi, (y, x) in enumerate(chunk):
             sub = arr[y: y + tile, x: x + tile]
             batch[bi, : sub.shape[0], : sub.shape[1]] = sub
+            extents.append((sub.shape[0], sub.shape[1]))
         result = eval_step(params, frozen, batch)
         det = result if hasattr(result, "boxes") else result[0]
         boxes = np.asarray(det.boxes)
@@ -128,6 +140,12 @@ def infer_tiled(
         valid = np.asarray(det.valid)
         for bi, (y, x) in enumerate(chunk):
             keep = valid[bi] & (scores[bi] > threshold)
+            # Drop detections whose centre falls in the zero-padded region
+            # of an edge tile (phantom objects hallucinated on the pad).
+            sh, sw = extents[bi]
+            cx = (boxes[bi][:, 0] + boxes[bi][:, 2]) / 2
+            cy = (boxes[bi][:, 1] + boxes[bi][:, 3]) / 2
+            keep &= (cx < sw) & (cy < sh)
             for b, s, l in zip(boxes[bi][keep], scores[bi][keep],
                                labels[bi][keep]):
                 detections.append(TiledDetection(
