@@ -50,6 +50,57 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 
+class StemConv(nn.Module):
+    """The ResNet stem 7x7/s2 conv, with an MXU-friendly evaluation path.
+
+    The parameter is the standard ``[7, 7, 3, 64]`` HWIO kernel at the flax
+    path ``conv1/kernel`` (checkpoint- and torchvision-import-compatible).
+    With ``space_to_depth`` the conv is evaluated as an EXACTLY equivalent
+    4x4/s1 conv over 2x2 space-to-depth input (12 channels): a C=3 conv
+    occupies ~3/128 of the MXU's contraction lanes; C=12 is 4x denser.
+
+    Derivation: ``out(i,j) = sum_{u,v} k[u,v] X[2i+u-3, 2j+v-3]``.  Pad the
+    input by (4, 2) rows/cols, so the tap position becomes
+    ``p = 2i + (u+1) = 2(i+bu) + py`` with ``u + 1 = 2 bu + py`` — kernel
+    tap ``u`` lands in space-to-depth block ``bu`` phase ``py``.  Padding
+    the 7-tap kernel with one leading zero makes it 8 = 4 blocks x 2 phases.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+    space_to_depth: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out",
+                                             "truncated_normal"),
+            (7, 7, 3, 64), jnp.float32)
+        if not self.space_to_depth:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0 and c == 3
+        # Input: pad (4, 2) and fold 2x2 blocks into channels -> 12.
+        xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        hp, wp = h + 6, w + 6
+        xs = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2,
+                                                    4 * c)
+        # Kernel: one leading zero row/col (7 -> 8 taps), then fold the
+        # 2-phase structure into the input-channel dim -> [4, 4, 12, 64].
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        ks = kp.reshape(4, 2, 4, 2, c, 64)
+        ks = ks.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), ks.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 (stride here, torchvision style) -> 1x1(x4) with projection."""
 
@@ -88,6 +139,13 @@ class ResNet(nn.Module):
     # ``trainable_backbone_layers`` default for fine-tuning) trains
     # layer2..layer4 and freezes stem+layer1.
     trainable_stages: int = 3
+    # Evaluate the 7x7/s2 stem as an equivalent 4x4/s1 conv on 2x2
+    # space-to-depth input (the MLPerf ResNet trick): a C=3 conv runs the
+    # MXU at ~3/128 occupancy; C=12 quadruples it.  Exactly equivalent math
+    # (see tests/test_model.py); the parameter stays in the standard
+    # [7, 7, 3, 64] layout so checkpoints and torchvision imports are
+    # unaffected.
+    stem_space_to_depth: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -100,9 +158,9 @@ class ResNet(nn.Module):
             return jax.lax.stop_gradient(h) if component_idx < freeze_from else h
 
         # Stem
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(x)
+        h = StemConv(dtype=self.dtype,
+                     space_to_depth=self.stem_space_to_depth,
+                     name="conv1")(x)
         h = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

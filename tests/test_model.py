@@ -130,6 +130,46 @@ class TestFasterRCNN:
         assert np.isfinite(float(losses["loss_mask"]))
 
 
+class TestStemSpaceToDepth:
+    def test_equivalent_to_standard_conv(self):
+        """4x4/s1 conv on 2x2 space-to-depth input == 7x7/s2 conv, exactly
+        (same conv1/kernel parameter)."""
+        from podtpu.models.resnet import StemConv
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        m_std = StemConv(dtype=jnp.float32, space_to_depth=False)
+        m_s2d = StemConv(dtype=jnp.float32, space_to_depth=True)
+        v = m_std.init(jax.random.key(0), x)
+        out_std = m_std.apply(v, x)
+        out_s2d = m_s2d.apply(v, x)
+        assert out_std.shape == out_s2d.shape == (2, 16, 16, 64)
+        assert float(jnp.abs(out_std - out_s2d).max()) < 1e-4
+
+    def test_param_path_unchanged(self):
+        """The stem parameter stays at backbone/conv1/kernel [7,7,3,64] so
+        checkpoints and the torchvision import keep working."""
+        from podtpu.models.resnet import ResNet
+
+        bb = ResNet(stage_sizes=(3, 4, 6, 3), dtype=jnp.float32)
+        v = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        assert v["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+    def test_gradients_flow_through_s2d_kernel_reshape(self):
+        from podtpu.models.resnet import StemConv
+
+        m = StemConv(dtype=jnp.float32, space_to_depth=True)
+        x = jnp.ones((1, 16, 16, 3))
+        v = m.init(jax.random.key(0), x)
+
+        def loss(p):
+            return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert g["kernel"].shape == (7, 7, 3, 64)
+        assert float(jnp.abs(g["kernel"]).max()) > 0
+
+
 def test_build_model_factory():
     model, cfg = build_model(5)
     assert cfg.num_classes == 5

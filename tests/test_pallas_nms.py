@@ -39,6 +39,49 @@ class TestPallasNMS:
         want = nms_oracle(boxes, scores, 0.5, valid)
         assert np.array_equal(keep, want)
 
+    def test_adversarial_chain(self):
+        """A long suppression chain (box i overlaps i+1 heavily, i+2
+        barely): the greedy result alternates keep/drop.  This is the shape
+        that made the round-1 whole-matrix fixpoint iterate O(N) times; the
+        blockwise kernel must stay exact on it."""
+        n = 512
+        # Boxes sliding right by 4px each, 10px wide: IoU(i, i+1) = 6/14
+        # > 0.3, IoU(i, i+2) = 2/18 < 0.3 -> with thr 0.3 greedy keeps
+        # every other box.
+        x = 4.0 * np.arange(n, dtype=np.float32)
+        boxes = np.stack([x, np.zeros(n, np.float32),
+                          x + 10, np.full(n, 10, np.float32)], axis=1)
+        scores = -np.arange(n, dtype=np.float32)  # sorted order = index
+        keep = np.asarray(nms_fixpoint_pallas(
+            jnp.asarray(boxes), jnp.ones(n, bool), 0.3))
+        want = nms_oracle(boxes, scores, 0.3)
+        assert np.array_equal(keep, want)
+        assert keep[0] and not keep[1] and keep[2]  # alternating pattern
+
+    def test_identical_boxes_cluster(self):
+        """All boxes identical: greedy keeps exactly the first."""
+        n = 256
+        boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (n, 1))
+        keep = np.asarray(nms_fixpoint_pallas(
+            jnp.asarray(boxes), jnp.ones(n, bool), 0.5))
+        assert keep[0] and not keep[1:].any()
+
+    def test_cross_tile_chain(self):
+        """Chains that straddle the 128-box tile boundary resolve exactly
+        (the propagate matvec feeds tile t+1 the kept rows of tile t)."""
+        rng = np.random.default_rng(11)
+        n = 384
+        # Dense cluster: every box overlaps many neighbours across tiles.
+        cx = rng.uniform(40, 60, n).astype(np.float32)
+        cy = rng.uniform(40, 60, n).astype(np.float32)
+        w = rng.uniform(20, 40, n).astype(np.float32)
+        boxes = np.stack([cx - w / 2, cy - w / 2, cx + w / 2, cy + w / 2], 1)
+        scores = -np.arange(n, dtype=np.float32)
+        keep = np.asarray(nms_fixpoint_pallas(
+            jnp.asarray(boxes), jnp.ones(n, bool), 0.5))
+        want = nms_oracle(boxes, scores, 0.5)
+        assert np.array_equal(keep, want)
+
     def test_nms_keep_dispatch_consistency(self):
         """nms_keep gives identical results whether or not the kernel path
         triggers (on CPU both run the interpret/XLA fixpoint)."""
