@@ -38,6 +38,10 @@ class ModelConfig:
     backbone_depth: int = 50
     trainable_backbone_stages: int = 3  # of 5 (stem + 4 stages), from the top
     fpn_channels: int = 256
+    # Evaluate the stem 7x7/s2 conv via 2x2 space-to-depth (exact same
+    # math; see models/resnet.py StemConv).  Raises stem MXU occupancy
+    # 4x, at the cost of an input-layout transform.
+    stem_space_to_depth: bool = True
 
     # Anchors (per FPN level P2..P6)
     anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)

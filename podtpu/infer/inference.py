@@ -38,7 +38,13 @@ IMAGE_SUFFIXES = {".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif"}
 
 def load_inference_model(model_dir: str):
     """Load a saved model directory -> (eval_step, params, frozen, cfg, labels)."""
+    import jax
+
     params, frozen, model_cfg, labels = load_model(model_dir)
+    # Commit weights to the accelerator once: numpy params passed to a jit
+    # are re-uploaded on EVERY call (hundreds of per-leaf transfers per
+    # batch on remote-TPU setups).
+    params, frozen = jax.device_put((params, frozen), jax.devices()[0])
     model = FasterRCNN(cfg=model_cfg)
     return make_eval_step(model), params, frozen, model_cfg, labels
 

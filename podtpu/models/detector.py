@@ -42,7 +42,8 @@ class FasterRCNN(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         self.backbone = ResNet(
             stage_sizes=(3, 4, 6, 3), dtype=dtype,
-            trainable_stages=cfg.trainable_backbone_stages, name="backbone")
+            trainable_stages=cfg.trainable_backbone_stages,
+            stem_space_to_depth=cfg.stem_space_to_depth, name="backbone")
         self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype, name="fpn")
         self.rpn_head = rpn_lib.RPNHead(
             num_anchors=len(cfg.anchor_ratios), channels=cfg.fpn_channels,
@@ -70,7 +71,11 @@ class FasterRCNN(nn.Module):
         return pyramid
 
     def __call__(self, images, gt=None, train: bool = False,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 return_proposals: bool = False):
+        """``return_proposals`` short-circuits inference after the RPN —
+        a debugging/profiling surface (bisecting backbone+RPN vs RoI-head
+        cost without model surgery)."""
         cfg = self.cfg
         pyramid = self._features(images)
         level_logits, level_deltas = self.rpn_head(pyramid)
@@ -84,6 +89,9 @@ class FasterRCNN(nn.Module):
             boxes=jax.lax.stop_gradient(proposals.boxes),
             scores=jax.lax.stop_gradient(proposals.scores),
             valid=proposals.valid)
+
+        if return_proposals and not train:
+            return proposals
 
         box_levels = pyramid[:4]  # P2..P5 feed the RoI heads
         b = images.shape[0]
@@ -211,7 +219,13 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
     except RuntimeError:
         return run_init()
     with jax.default_device(cpu):
-        return run_init()
+        variables = run_init()
+    # CRITICAL: commit the variables to the default (accelerator) device.
+    # Arrays created under default_device(cpu) are committed to the CPU
+    # backend, and a jit compiled for the TPU must then re-upload EVERY
+    # parameter leaf on EVERY call — ~300 tunnel round-trips per step on
+    # remote-TPU setups (measured: a 32 ms eval forward stretched to 2.8 s).
+    return jax.device_put(variables, jax.devices()[0])
 
 
 def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,

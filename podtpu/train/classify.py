@@ -174,6 +174,8 @@ def classify_crops(input_dir: str, model_dir: str,
     with open(os.path.join(model_dir, "classifier.msgpack"), "rb") as fp:
         params = serialization.from_bytes(
             jax.device_get(variables["params"]), fp.read())
+    # Commit once: numpy params fed to a jit re-upload on every call.
+    params = jax.device_put(params, jax.devices()[0])
 
     @jax.jit
     def logits_fn(images):
