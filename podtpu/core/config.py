@@ -39,9 +39,11 @@ class ModelConfig:
     trainable_backbone_stages: int = 3  # of 5 (stem + 4 stages), from the top
     fpn_channels: int = 256
     # Evaluate the stem 7x7/s2 conv via 2x2 space-to-depth (exact same
-    # math; see models/resnet.py StemConv).  Raises stem MXU occupancy
-    # 4x, at the cost of an input-layout transform.
-    stem_space_to_depth: bool = True
+    # math; see models/resnet.py StemConv).  Raises stem MXU occupancy 4x
+    # but costs an input-layout transform; measured NET NEGATIVE at the
+    # 1024x1024/b4 operating point on v5e (+5 ms: the bf16 lane-3 transpose
+    # copies outweigh the conv saving), so off by default.
+    stem_space_to_depth: bool = False
 
     # Anchors (per FPN level P2..P6)
     anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)

@@ -144,8 +144,9 @@ class ResNet(nn.Module):
     # MXU at ~3/128 occupancy; C=12 quadruples it.  Exactly equivalent math
     # (see tests/test_model.py); the parameter stays in the standard
     # [7, 7, 3, 64] layout so checkpoints and torchvision imports are
-    # unaffected.
-    stem_space_to_depth: bool = True
+    # unaffected.  Off by default: measured net negative at 1024x1024
+    # (the input-layout transform outweighs the conv saving).
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:

@@ -87,7 +87,9 @@ def _roi_params(boxes, strides, dims, output_size, aligned,
 
     def per_image(bx):
         level = assign_levels(bx, num_levels, canonical_scale,
-                              canonical_level, min_level)
+                              canonical_level, min_level,
+                              max_span_cells=float(win - 2),
+                              base_stride=float(strides[0]))
         scale = 1.0 / strides_arr[level]
         hf = heights[level]
         wf = widths[level]
@@ -139,8 +141,9 @@ def _weight_matrix(coord0, bin_size, origin, size_f, s, ratio, win):
 
 
 def _fwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
-                k_total):
+                k_total, rois_per_step):
     s = out_size * ratio
+    k_steps = k_total // rois_per_step
 
     def kernel(int_ref, f32_ref, *refs):
         level_refs = refs[:num_levels]
@@ -149,10 +152,8 @@ def _fwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
         sems = refs[num_levels + 2]      # [2]
         b = pl.program_id(0)
         k = pl.program_id(1)
-        step = b * k_total + k
+        base = (b * k_steps + k) * rois_per_step
         total = pl.num_programs(0) * k_total
-        slot = jax.lax.rem(step, 2)
-        next_slot = jax.lax.rem(step + 1, 2)
 
         # Scalar params are flat 1D SMEM arrays (2D+ SMEM operands get their
         # last dim padded to 128 lanes and blow the 1MB SMEM budget).
@@ -171,66 +172,76 @@ def _fwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
                 for l in range(num_levels)
             ]
 
-        # Warm-up: the first grid step fetches its own window.
-        @pl.when(step == 0)
-        def _():
-            lvl0, copies = dma_for(step, slot)
+        def start(idx, slot_idx):
+            lvl_i, copies = dma_for(idx, slot_idx)
             for l in range(num_levels):
-                @pl.when(lvl0 == l)
+                @pl.when(lvl_i == l)
                 def _():
                     copies[l].start()
 
-        # Prefetch the NEXT roi's window while we compute this one.
-        @pl.when(step + 1 < total)
-        def _():
-            lvl_n, copies = dma_for(step + 1, next_slot)
-            for l in range(num_levels):
-                @pl.when(lvl_n == l)
+        # Several RoIs per grid step amortise the per-step fixed cost; the
+        # per-RoI double-buffered DMA pipeline is unchanged (the r-loop is
+        # unrolled at trace time).
+        for r in range(rois_per_step):
+            idx = base + r
+            slot = jax.lax.rem(idx, 2)
+            next_slot = jax.lax.rem(idx + 1, 2)
+
+            # Warm-up: the very first roi fetches its own window.
+            if r == 0:
+                @pl.when(idx == 0)
                 def _():
-                    copies[l].start()
+                    start(idx, slot)
 
-        fb = step * 8
-        y1 = f32_ref[fb + 0]
-        x1 = f32_ref[fb + 1]
-        bin_h = f32_ref[fb + 2]
-        bin_w = f32_ref[fb + 3]
-        y0 = f32_ref[fb + 4]
-        x0 = f32_ref[fb + 5]
-        hf = f32_ref[fb + 6]
-        wf = f32_ref[fb + 7]
-        ay = _weight_matrix(y1, bin_h, y0, hf, s, ratio, win_h)
-        ax = _weight_matrix(x1, bin_w, x0, wf, s, ratio, win_w)
-
-        lvl, copies = dma_for(step, slot)
-        for l in range(num_levels):
-            @pl.when(lvl == l)
+            # Prefetch the NEXT roi's window while we compute this one.
+            @pl.when(idx + 1 < total)
             def _():
-                copies[l].wait()
+                start(idx + 1, next_slot)
 
-        w = windows[slot].astype(jnp.float32)              # [win_h, win_w*C]
-        t1 = jnp.dot(ay, w, preferred_element_type=jnp.float32)  # [S,win_w*C]
-        t1 = t1.reshape(s, win_w, channels)
-        t1 = jnp.swapaxes(t1, 0, 1).reshape(win_w, s * channels)
-        t2 = jnp.dot(ax, t1, preferred_element_type=jnp.float32)  # [sx, S*C]
-        t2 = jnp.swapaxes(t2.reshape(s, s, channels), 0, 1)       # [sy,sx,C]
-        pooled = t2.reshape(out_size, ratio, out_size, ratio, channels)
-        pooled = pooled.mean(axis=(1, 3))
-        out_ref[0, 0] = pooled.astype(out_ref.dtype)
+            fb = idx * 8
+            y1 = f32_ref[fb + 0]
+            x1 = f32_ref[fb + 1]
+            bin_h = f32_ref[fb + 2]
+            bin_w = f32_ref[fb + 3]
+            y0 = f32_ref[fb + 4]
+            x0 = f32_ref[fb + 5]
+            hf = f32_ref[fb + 6]
+            wf = f32_ref[fb + 7]
+            ay = _weight_matrix(y1, bin_h, y0, hf, s, ratio, win_h)
+            ax = _weight_matrix(x1, bin_w, x0, wf, s, ratio, win_w)
+
+            lvl, copies = dma_for(idx, slot)
+            for l in range(num_levels):
+                @pl.when(lvl == l)
+                def _():
+                    copies[l].wait()
+
+            w = windows[slot].astype(jnp.float32)          # [win_h, win_w*C]
+            t1 = jnp.dot(ay, w, preferred_element_type=jnp.float32)
+            t1 = t1.reshape(s, win_w, channels)
+            t1 = jnp.swapaxes(t1, 0, 1).reshape(win_w, s * channels)
+            t2 = jnp.dot(ax, t1, preferred_element_type=jnp.float32)
+            t2 = jnp.swapaxes(t2.reshape(s, s, channels), 0, 1)  # [sy,sx,C]
+            pooled = t2.reshape(out_size, ratio, out_size, ratio, channels)
+            pooled = pooled.mean(axis=(1, 3))
+            out_ref[0, r] = pooled.astype(out_ref.dtype)
 
     return kernel
 
 
 def _bwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
-                k_total):
+                k_total, rois_per_step):
     """Backward accumulation, parity-pipelined.
 
-    Even/odd grid steps accumulate into two SEPARATE buffer sets (summed by
-    the caller), so step i's window read never races step i-1's write —
-    both DMAs overlap the neighbouring steps' compute, and the only
-    synchronisation is waiting the write from two steps ago.
+    Even/odd RoIs accumulate into two SEPARATE buffer sets (summed by the
+    caller), so roi i's window read never races roi i-1's write — both DMAs
+    overlap the neighbouring rois' compute, and the only synchronisation is
+    waiting the write from two rois ago.  Several RoIs run per grid step
+    (unrolled) to amortise the per-step fixed cost.
     """
     s = out_size * ratio
     inv = 1.0 / (ratio * ratio)
+    k_steps = k_total // rois_per_step
 
     def kernel(int_ref, f32_ref, *refs):
         # refs: [0, 2L) aliased grad inputs (unused; outputs below are the
@@ -244,10 +255,8 @@ def _bwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
         write_sems = refs[4 * num_levels + 4]               # [2]
         b = pl.program_id(0)
         k = pl.program_id(1)
-        step = b * k_total + k
+        base = (b * k_steps + k) * rois_per_step
         total = pl.num_programs(0) * k_total
-        slot = jax.lax.rem(step, 2)
-        nslot = jax.lax.rem(step + 1, 2)
 
         def read_dma(idx, slot_idx):
             ib = idx * 4
@@ -295,59 +304,80 @@ def _bwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
                 def _():
                     getattr(copy, op)()
 
-        # Step 0 fetches its own window; later steps were prefetched.
-        @pl.when(step == 0)
-        def _():
-            run(read_dma(step, slot), "start")
+        for r in range(rois_per_step):
+            idx = base + r
+            slot = jax.lax.rem(idx, 2)
+            nslot = jax.lax.rem(idx + 1, 2)
 
-        fb = step * 8
-        y1 = f32_ref[fb + 0]
-        x1 = f32_ref[fb + 1]
-        bin_h = f32_ref[fb + 2]
-        bin_w = f32_ref[fb + 3]
-        y0 = f32_ref[fb + 4]
-        x0 = f32_ref[fb + 5]
-        hf = f32_ref[fb + 6]
-        wf = f32_ref[fb + 7]
-        ay = _weight_matrix(y1, bin_h, y0, hf, s, ratio, win_h)
-        ax = _weight_matrix(x1, bin_w, x0, wf, s, ratio, win_w)
+            # The very first roi fetches its own window; later rois were
+            # prefetched by their predecessor.
+            if r == 0:
+                @pl.when(idx == 0)
+                def _():
+                    run(read_dma(idx, slot), "start")
 
-        g = g_ref[0, 0].astype(jnp.float32)                    # [7, 7, C]
-        # Upsample bins to sample points (each sample gets g/ratio^2).
-        g = jnp.repeat(jnp.repeat(g, ratio, axis=0), ratio, axis=1) * inv
-        # dU[wy, sx, c] = sum_sy ay[sy, wy] g[sy, sx, c]
-        du = jnp.dot(ay.T, g.reshape(s, s * channels),
-                     preferred_element_type=jnp.float32)     # [win_h, S*C]
-        du = du.reshape(win_h, s, channels)
-        du = jnp.swapaxes(du, 0, 1).reshape(s, win_h * channels)
-        # dW[wx, wy, c] = sum_sx ax[sx, wx] dU[wy, sx, c]
-        dw = jnp.dot(ax.T, du, preferred_element_type=jnp.float32)
-        dw = jnp.swapaxes(dw.reshape(win_w, win_h, channels), 0, 1)
+            fb = idx * 8
+            y1 = f32_ref[fb + 0]
+            x1 = f32_ref[fb + 1]
+            bin_h = f32_ref[fb + 2]
+            bin_w = f32_ref[fb + 3]
+            y0 = f32_ref[fb + 4]
+            x0 = f32_ref[fb + 5]
+            hf = f32_ref[fb + 6]
+            wf = f32_ref[fb + 7]
+            ay = _weight_matrix(y1, bin_h, y0, hf, s, ratio, win_h)
+            ax = _weight_matrix(x1, bin_w, x0, wf, s, ratio, win_w)
 
-        run(read_dma(step, slot), "wait")
+            g = g_ref[0, r].astype(jnp.float32)                # [7, 7, C]
+            # Upsample bins to sample points (each sample gets g/ratio^2).
+            g = jnp.repeat(jnp.repeat(g, ratio, axis=0), ratio, axis=1) * inv
+            # dU[wy, sx, c] = sum_sy ay[sy, wy] g[sy, sx, c]
+            du = jnp.dot(ay.T, g.reshape(s, s * channels),
+                         preferred_element_type=jnp.float32)  # [win_h, S*C]
+            du = du.reshape(win_h, s, channels)
+            du = jnp.swapaxes(du, 0, 1).reshape(s, win_h * channels)
+            # dW[wx, wy, c] = sum_sx ax[sx, wx] dU[wy, sx, c]
+            dw = jnp.dot(ax.T, du, preferred_element_type=jnp.float32)
+            dw = jnp.swapaxes(dw.reshape(win_w, win_h, channels), 0, 1)
 
-        # Drain the write from the previous step: it targeted the OTHER
-        # parity set, which the upcoming prefetch reads from.
-        @pl.when(step >= 1)
-        def _():
-            run(write_dma(step - 1, nslot), "wait")
+            run(read_dma(idx, slot), "wait")
 
-        accs[slot] = (windows[slot]
-                      + dw.reshape(win_h, win_w * channels)).astype(
-                          accs.dtype)
-        run(write_dma(step, slot), "start")
+            # Drain the write from the previous roi: it targeted the OTHER
+            # parity set, which the upcoming prefetch reads from.
+            @pl.when(idx >= 1)
+            def _():
+                run(write_dma(idx - 1, nslot), "wait")
 
-        # Prefetch the next step's window (other parity set: no outstanding
-        # writes there after the drain above).
-        @pl.when(step + 1 < total)
-        def _():
-            run(read_dma(step + 1, nslot), "start")
+            accs[slot] = (windows[slot]
+                          + dw.reshape(win_h, win_w * channels)).astype(
+                              accs.dtype)
+            run(write_dma(idx, slot), "start")
 
-        @pl.when(step + 1 >= total)
-        def _():
-            run(write_dma(step, slot), "wait")
+            # Prefetch the next roi's window (other parity set: no
+            # outstanding writes there after the drain above).
+            @pl.when(idx + 1 < total)
+            def _():
+                run(read_dma(idx + 1, nslot), "start")
+
+            @pl.when(idx + 1 >= total)
+            def _():
+                run(write_dma(idx, slot), "wait")
 
     return kernel
+
+
+def _rois_per_step(k: int) -> int:
+    """Largest divisor of k among (8, 4, 2, 1): RoIs processed per grid
+    step — amortises the fixed per-step cost (~3 us) that dominated the
+    one-roi-per-step formulation.  PODTPU_ROI_RPS forces a value (debug)."""
+    import os
+    forced = os.environ.get("PODTPU_ROI_RPS")
+    if forced:
+        return int(forced)
+    for r in (8, 4, 2):
+        if k % r == 0:
+            return r
+    return 1
 
 
 def _fwd_call(padded_levels, int_params, f32_params, output_size,
@@ -355,17 +385,18 @@ def _fwd_call(padded_levels, int_params, f32_params, output_size,
     b, k = int_params.shape[:2]
     num_levels = len(padded_levels)
     win_h, win_w = window_dims(win, channels)
+    rps = _rois_per_step(k)
     kernel = _fwd_kernel(output_size, sampling_ratio, win_h, win_w, channels,
-                         num_levels, k)
+                         num_levels, k, rps)
     return pl.pallas_call(
         kernel,
         interpret=not _is_tpu(),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(b, k),
+            grid=(b, k // rps),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
             out_specs=pl.BlockSpec(
-                (1, 1, output_size, output_size, channels),
+                (1, rps, output_size, output_size, channels),
                 lambda i, j, *_: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -388,8 +419,9 @@ def _bwd_call(grad_inits, g, int_params, f32_params, output_size,
     b, k = int_params.shape[:2]
     num_levels = len(grad_inits) // 2
     win_h, win_w = window_dims(win, channels)
+    rps = _rois_per_step(k)
     kernel = _bwd_kernel(output_size, sampling_ratio, win_h, win_w, channels,
-                         num_levels, k)
+                         num_levels, k, rps)
     out_shapes = [jax.ShapeDtypeStruct(gi.shape, gi.dtype)
                   for gi in grad_inits]
     return pl.pallas_call(
@@ -397,11 +429,11 @@ def _bwd_call(grad_inits, g, int_params, f32_params, output_size,
         interpret=not _is_tpu(),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(b, k),
+            grid=(b, k // rps),
             in_specs=([pl.BlockSpec(memory_space=pl.ANY)]
                       * (2 * num_levels)
                       + [pl.BlockSpec(
-                          (1, 1, output_size, output_size, channels),
+                          (1, rps, output_size, output_size, channels),
                           lambda i, j, *_: (i, j, 0, 0, 0),
                           memory_space=pltpu.VMEM)]),
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)]

@@ -69,16 +69,34 @@ def assign_levels(
     canonical_level: int = 4,
     min_level: int = 2,
     eps: float = 1e-6,
+    max_span_cells: float = 30.0,
+    base_stride: float = 4.0,
 ) -> jnp.ndarray:
     """FPN level index (0-based into the feature list) for each ``[K,4]`` box.
 
-    Matches torchvision's ``LevelMapper``: ``k = floor(k0 + log2(sqrt(area)/s0))``
-    clamped to ``[min_level, min_level + num_levels - 1]``.
+    Matches torchvision's ``LevelMapper`` (``k = floor(k0 +
+    log2(sqrt(area)/s0))`` clamped to the level range) with ONE deliberate
+    deviation: a box whose LONG side would span more than
+    ``max_span_cells`` feature cells at its canonical level (elongated or
+    near-canvas boxes — sqrt-area assignment ignores aspect ratio) is
+    bumped to the coarsest level where it fits.  Torchvision would sample
+    such a box fine; the Pallas kernel's fixed VMEM window cannot hold it
+    and would otherwise CLAMP sample points (silently wrong features).
+    Both the XLA and Pallas paths apply the bump so backends agree
+    bit-for-bit.  Pass ``max_span_cells=None`` for strict torchvision
+    assignment.
     """
-    area = jnp.clip(
-        (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 0.0)
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    area = jnp.clip(w * h, 0.0)
     scale = jnp.sqrt(area)
     lvl = jnp.floor(canonical_level + jnp.log2(scale / canonical_scale + eps))
+    if max_span_cells is not None:
+        long_px = jnp.maximum(jnp.maximum(w, h), eps)
+        # Smallest level whose stride keeps the span within the window.
+        need = jnp.ceil(
+            jnp.log2(long_px / (max_span_cells * base_stride) + eps))
+        lvl = jnp.maximum(lvl, min_level + need)
     lvl = jnp.clip(lvl, min_level, min_level + num_levels - 1)
     return (lvl - min_level).astype(jnp.int32)
 
@@ -132,7 +150,7 @@ def multilevel_roi_align(
     num_levels = len(strides)
     strides_arr = jnp.asarray(strides, jnp.float32)
     level = assign_levels(boxes, num_levels, canonical_scale, canonical_level,
-                          min_level)
+                          min_level, base_stride=float(strides[0]))
 
     out = output_size
     s = sampling_ratio

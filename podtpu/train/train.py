@@ -171,11 +171,16 @@ def train(project: Project,
 
     shard_batch = None
     if use_dp:
+        from jax.sharding import NamedSharding, PartitionSpec
         from podtpu.parallel.dp import (make_dp_eval_step, make_dp_train_step,
                                         make_mesh)
         mesh = make_mesh(jax.devices()[:num_devices])
         train_step, shard_batch = make_dp_train_step(model, tx, cfg, mesh)
         eval_step = make_dp_eval_step(model, mesh)
+        # init_variables commits params to a single device; the DP step
+        # needs them REPLICATED on the mesh (a single-device commitment
+        # conflicts with the mesh-sharded batch under jit).
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
     else:
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model)
