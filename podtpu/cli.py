@@ -68,7 +68,10 @@ def add_options(options):
 
 @click.group()
 def cli():
-    pass
+    # Persistent XLA compilation cache: the second run of any command skips
+    # the minutes-long TPU compile (PODTPU_NO_COMPILE_CACHE=1 to disable).
+    from podtpu.core.setup import enable_compilation_cache
+    enable_compilation_cache()
 
 
 @cli.command()

@@ -367,16 +367,15 @@ def _bwd_kernel(out_size, ratio, win_h, win_w, channels, num_levels,
 
 
 def _rois_per_step(k: int) -> int:
-    """Largest divisor of k among (8, 4, 2, 1): RoIs processed per grid
-    step — amortises the fixed per-step cost (~3 us) that dominated the
-    one-roi-per-step formulation.  PODTPU_ROI_RPS forces a value (debug)."""
+    """RoIs processed per grid step.  Measured on v5e at 4x512 fwd+bwd:
+    1/2/4/8 -> 22.3/22.8/22.9/25.7 ms — the kernel is bound by the tiny
+    per-roi interpolation matmuls and DMA, NOT per-step overhead, so
+    batching rois per step only bloats the unrolled body.  Default 1;
+    PODTPU_ROI_RPS forces another value for experiments."""
     import os
     forced = os.environ.get("PODTPU_ROI_RPS")
-    if forced:
+    if forced and k % int(forced) == 0:
         return int(forced)
-    for r in (8, 4, 2):
-        if k % r == 0:
-            return r
     return 1
 
 

@@ -195,6 +195,15 @@ class COCOEvaluator:
         return _ImageEval(dt_scores=d_score, dt_matched=dtm, dt_ignored=dtig,
                           num_gt=int((~g_ig).sum()))
 
+    def merge_from(self, other: "COCOEvaluator") -> None:
+        """Fold another evaluator's per-image match results into this one
+        (the cross-rank merge of the reference's distributed COCO eval,
+        `engine/coco_eval.py:161-190`)."""
+        assert other.num_classes == self.num_classes
+        assert other.max_dets == self.max_dets
+        for key, evals in other._evals.items():
+            self._evals[key].extend(evals)
+
     def accumulate(self) -> Dict[str, np.ndarray]:
         """Compute precision/recall tables.
 

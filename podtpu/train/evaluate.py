@@ -82,6 +82,20 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
                     area_scale=(stride / scale) ** 2,
                 )
             n_images += 1
+    # Multi-host DP: every process evaluated its shard of the test set;
+    # merge match results across processes before accumulating (the
+    # reference's cross-rank COCO merge, coco_eval.py:161-190).
+    import jax
+    if jax.process_count() > 1:
+        from podtpu.parallel.host import allgather_pickled
+        gathered = allgather_pickled((evaluator, segm_eval))
+        me = jax.process_index()
+        for i, (ev, sg) in enumerate(gathered):
+            if i == me:
+                continue
+            evaluator.merge_from(ev)
+            if segm_eval is not None and sg is not None:
+                segm_eval.merge_from(sg)
     stats = evaluator.summarize()
     evaluator.segm = segm_eval
     evaluator.segm_stats = segm_eval.summarize() if segm_eval else None

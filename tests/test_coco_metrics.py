@@ -124,6 +124,30 @@ class TestMaxDets:
         assert stats[7] == pytest.approx(1.0)  # AR@10
 
 
+class TestMergeFrom:
+    def test_split_updates_equal_single_evaluator(self):
+        """Updating one evaluator with all images == updating two with a
+        split and merging (the multi-host DP eval merge)."""
+        rng = np.random.default_rng(5)
+        single = COCOEvaluator(num_classes=2)
+        a = COCOEvaluator(num_classes=2)
+        b = COCOEvaluator(num_classes=2)
+        for i in range(6):
+            n = 4
+            gt = np.stack([
+                np.asarray(box(*xy, *wh))
+                for xy, wh in zip(rng.uniform(0, 200, (n, 2)),
+                                  rng.uniform(20, 80, (n, 2)))])
+            labels = rng.integers(1, 3, n)
+            jitter = gt + rng.normal(0, 3, gt.shape)
+            scores = rng.uniform(0.3, 1.0, n)
+            single.update(gt, labels, jitter, scores, labels)
+            (a if i % 2 == 0 else b).update(gt, labels, jitter, scores,
+                                            labels)
+        a.merge_from(b)
+        assert a.summarize() == pytest.approx(single.summarize())
+
+
 def test_summary_text_format():
     ev = COCOEvaluator(num_classes=1)
     gt = np.array([box(0, 0, 50, 50)])
