@@ -113,7 +113,10 @@ def bench_e2e():
                  data=DataConfig())
     dataset = DetectionDataset(project, image_size=model_cfg.image_size,
                                max_gt=model_cfg.max_gt_boxes)
-    loader = Loader(dataset, BATCH, shuffle=True, num_workers=4, prefetch=3)
+    # Batches are device_put by the loader's producer thread so the upload
+    # overlaps the previous step (critical over remote-TPU links).
+    loader = Loader(dataset, BATCH, shuffle=True, num_workers=4, prefetch=3,
+                    place=jax.devices()[0])
 
     model = FasterRCNN(cfg=model_cfg)
     variables = init_variables(model, jax.random.key(0))

@@ -45,13 +45,18 @@ class RPNHead(nn.Module):
 
     def __call__(self, features: Sequence[jnp.ndarray]):
         """Returns per-level flattened (logits [B, Hl*Wl*A], deltas
-        [B, Hl*Wl*A, 4]) in anchor-grid order (y, x, A)."""
+        [B, Hl*Wl*A, 4]) in anchor-grid order (y, x, A).
+
+        Outputs stay in the compute dtype (bf16): casting the FULL anchor
+        grids to f32 here cost ~2 ms/step in layout copies; consumers cast
+        the few thousand gathered entries instead.
+        """
         logits, deltas = [], []
         for f in features:
             h = nn.relu(self.conv(f))
             b = h.shape[0]
-            obj = self.objectness(h).astype(jnp.float32)
-            dlt = self.deltas(h).astype(jnp.float32)
+            obj = self.objectness(h)
+            dlt = self.deltas(h)
             logits.append(obj.reshape(b, -1))
             deltas.append(dlt.reshape(b, -1, 4))
         return logits, deltas
@@ -82,7 +87,10 @@ def select_proposals(
             kl = min(pre_k, logits.shape[0])
             top_scores, idx = matching.topk_maybe_approx(
                 logits, kl, cfg.approx_topk)
-            boxes = box_ops.decode_boxes(deltas[idx], anchors[idx])
+            # Gather first, cast the 2000-entry result (not the full grid).
+            top_scores = top_scores.astype(jnp.float32)
+            boxes = box_ops.decode_boxes(
+                deltas[idx].astype(jnp.float32), anchors[idx])
             boxes = box_ops.clip_boxes(boxes, (h, w))
             ok = box_ops.small_box_mask(boxes, cfg.rpn_min_size)
             cand_boxes.append(boxes)
@@ -146,8 +154,9 @@ def rpn_losses(
             rng_i, m.labels, jnp.ones(all_anchors.shape[0], bool),
             cfg.rpn_batch_per_image, cfg.rpn_positive_fraction,
             approx=cfg.approx_topk)
-        sel_logits = logits_i[samp.idx]
-        sel_deltas = deltas_i[samp.idx]
+        # Gather the 256 sampled entries, THEN cast (the head emits bf16).
+        sel_logits = logits_i[samp.idx].astype(jnp.float32)
+        sel_deltas = deltas_i[samp.idx].astype(jnp.float32)
         sel_anchors = all_anchors[samp.idx]
         sel_gt = gt_b[m.matched_idx[samp.idx]]
         targets = box_ops.encode_boxes(sel_gt, sel_anchors)

@@ -131,11 +131,23 @@ def train(project: Project,
     use_dp = num_devices > 1
     global_batch = batch_size * num_devices
     if use_dp:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from podtpu.parallel.dp import make_mesh
+        mesh = make_mesh(jax.devices()[:num_devices])
+        train_place = NamedSharding(mesh, PartitionSpec("data"))
         print(f"Data parallel over {num_devices} devices "
               f"(global batch {global_batch})")
+    else:
+        mesh = None
+        train_place = jax.devices()[0]
 
+    # Train batches are placed on device (or sharded over the mesh) by the
+    # loader's producer thread, overlapping host->device transfer with the
+    # previous step's compute; the eval loader stays host-side (evaluation
+    # indexes batch fields on the host).
     loader_train = Loader(dataset, global_batch, indices=train_idx,
-                          shuffle=True, seed=seed, num_workers=num_workers)
+                          shuffle=True, seed=seed, num_workers=num_workers,
+                          place=train_place)
     loader_test = Loader(dataset, global_batch, indices=test_idx,
                          shuffle=False, num_workers=num_workers)
 
@@ -169,13 +181,9 @@ def train(project: Project,
             start_epoch = restored["epoch"] + 1
             print(f"Resumed from epoch {restored['epoch']}")
 
-    shard_batch = None
     if use_dp:
-        from jax.sharding import NamedSharding, PartitionSpec
-        from podtpu.parallel.dp import (make_dp_eval_step, make_dp_train_step,
-                                        make_mesh)
-        mesh = make_mesh(jax.devices()[:num_devices])
-        train_step, shard_batch = make_dp_train_step(model, tx, cfg, mesh)
+        from podtpu.parallel.dp import make_dp_eval_step, make_dp_train_step
+        train_step, _ = make_dp_train_step(model, tx, cfg, mesh)
         eval_step = make_dp_eval_step(model, mesh)
         # init_variables commits params to a single device; the DP step
         # needs them REPLICATED on the mesh (a single-device commitment
@@ -209,8 +217,6 @@ def train(project: Project,
             lr = alrs.lr * warmup_factor(cfg, epoch, it, iters)
             batch = dict(batch)
             batch["image_weight"] = bvalid.astype(np.float32)
-            if shard_batch is not None:
-                batch = shard_batch(batch)
             state, metrics = train_step(state, batch, step_rngs[it],
                                         np.float32(lr))
             # Accumulate the loss on device (tiny async adds): ALRS sees the
