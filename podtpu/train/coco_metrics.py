@@ -120,8 +120,10 @@ class COCOEvaluator:
             assert gt_masks is not None and dt_masks is not None
             gt_masks = np.asarray(gt_masks).astype(bool)
             dt_masks = np.asarray(dt_masks).astype(bool)
-            gt_area = gt_masks.reshape(len(gt_labels), -1).sum(1) * area_scale
-            dt_area = dt_masks.reshape(len(dt_labels), -1).sum(1) * area_scale
+            # sum over the grid axes directly (reshape(-1) breaks on zero
+            # detections: numpy cannot infer -1 for a size-0 array).
+            gt_area = gt_masks.sum(axis=(1, 2)) * area_scale
+            dt_area = dt_masks.sum(axis=(1, 2)) * area_scale
         else:
             gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
                       (gt_boxes[:, 3] - gt_boxes[:, 1])
