@@ -36,7 +36,10 @@ CANVAS = 1024
 
 
 def bench_tiles():
-    """Eval-forward throughput at the tiled-inference operating point."""
+    """Eval-forward throughput at the tiled-inference operating point.
+
+    BENCH_TILES_BATCH overrides the tile batch (throughput metric — the
+    auto-annotation path batches tiles freely; default 4)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,13 +48,14 @@ def bench_tiles():
     from podtpu.models.detector import FasterRCNN, init_variables
     from podtpu.train.step import make_eval_step
 
+    batch = int(os.environ.get("BENCH_TILES_BATCH", BATCH))
     model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
                             compute_dtype="bfloat16")
     model = FasterRCNN(cfg=model_cfg)
     variables = init_variables(model, jax.random.key(0))
     eval_step = make_eval_step(model)
     rng = np.random.default_rng(0)
-    tiles = jnp.asarray(rng.uniform(0, 1, (BATCH, CANVAS, CANVAS, 3)),
+    tiles = jnp.asarray(rng.uniform(0, 1, (batch, CANVAS, CANVAS, 3)),
                         jnp.float32)
     params, frozen = variables["params"], variables["frozen"]
 
@@ -67,7 +71,7 @@ def bench_tiles():
     t_short = min(run(2) for _ in range(2))
     t_long = min(run(12) for _ in range(2))
     per_step = max((t_long - t_short) / 10, 1e-9)
-    tiles_per_sec = BATCH / per_step
+    tiles_per_sec = batch / per_step
     # Per-batch p50 latency (includes the ~30ms tunnel RPC on remote-TPU
     # setups; the throughput number above uses slope timing to cancel it).
     lat = []

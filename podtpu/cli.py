@@ -329,5 +329,23 @@ def classify_crops(input_dir, model_dir, model, batch_size, output):
         print(text)
 
 
+@cli.command()
+@click.option("--model-dir", type=str, default="/obj_det/models",
+              show_default=True, help="Directory containing models")
+@click.option("--model", type=str, prompt="Name of folder containing model",
+              help="Name of folder containing model")
+@click.option("--host", type=str, default="0.0.0.0", show_default=True)
+@click.option("--port", type=int, default=8500, show_default=True)
+@click.option("--batch-size", type=int, default=4, show_default=True,
+              help="Micro-batch size for coalescing concurrent requests")
+def serve(model_dir, model, host, port, batch_size):
+    """Serve a trained detector over HTTP (POST /detect with image bytes;
+    micro-batched inference — new capability)."""
+    from podtpu.infer.server import serve as serve_fn
+
+    serve_fn(os.path.join(model_dir, model), host=host, port=port,
+             batch_size=batch_size)
+
+
 if __name__ == "__main__":
     cli()

@@ -1,0 +1,195 @@
+"""Micro-batching HTTP inference server.
+
+New capability beyond the reference (which only supports offline batch
+auto-annotation): a production serving endpoint over a trained model
+directory.  Requests are decoded on worker threads, coalesced into
+fixed-shape batches (the same static canvas the model was trained with)
+and run through the single jitted eval step — so concurrent clients share
+MXU work instead of serialising one-image compiles.
+
+    POST /detect           body: image bytes (jpeg/png/bmp/tiff)
+                           query: ?threshold=0.5
+    ->  {"detections": [{"box": [x1,y1,x2,y2], "score": s,
+                         "label": "name", "polygon": [[x,y], ...]?}],
+         "width": W, "height": H}
+    GET  /healthz          -> {"status": "ok", "model": ..., "labels": [...]}
+
+Run via ``python -m podtpu.cli serve --model-dir ... --port 8500``.
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+from PIL import Image
+
+from podtpu.data.dataset import fit_resize
+from podtpu.infer.inference import load_inference_model
+
+
+class _Request:
+    __slots__ = ("canvas", "scale", "size", "threshold", "event", "result",
+                 "error")
+
+    def __init__(self, canvas, scale, size, threshold):
+        self.canvas = canvas
+        self.scale = scale
+        self.size = size
+        self.threshold = threshold
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class DetectionServer:
+    """Model runner + micro-batcher; the HTTP layer sits on top."""
+
+    def __init__(self, model_dir: str, batch_size: int = 4,
+                 batch_timeout_ms: float = 8.0):
+        (self.eval_step, self.params, self.frozen, self.cfg,
+         self.labels) = load_inference_model(model_dir)
+        self.model_dir = model_dir
+        self.batch_size = batch_size
+        self.batch_timeout = batch_timeout_ms / 1e3
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------------
+    def detect(self, image_bytes: bytes, threshold: float = 0.5) -> dict:
+        with Image.open(io.BytesIO(image_bytes)) as im:
+            arr = np.asarray(im.convert("RGB"))
+        h, w = arr.shape[:2]
+        resized, scale = fit_resize(arr, self.cfg.image_size)
+        ch, cw = self.cfg.image_size
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[: resized.shape[0], : resized.shape[1]] = \
+            resized.astype(np.float32) / 255.0
+        req = _Request(canvas, scale, (h, w), threshold)
+        self._q.put(req)
+        req.event.wait()
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+
+    # -- batching worker -----------------------------------------------------
+    def _run(self):
+        while not self._stop.is_set():
+            first = self._q.get()
+            if first is None:
+                continue
+            batch = [first]
+            # Coalesce whatever arrives within the window, up to batch_size.
+            deadline = self.batch_timeout
+            while len(batch) < self.batch_size:
+                try:
+                    nxt = self._q.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            try:
+                self._process(batch)
+            except Exception as exc:  # surface to all waiters
+                for req in batch:
+                    req.error = f"{type(exc).__name__}: {exc}"
+                    req.event.set()
+
+    def _process(self, batch: List[_Request]):
+        bs = self.batch_size
+        ch, cw = self.cfg.image_size
+        images = np.zeros((bs, ch, cw, 3), np.float32)
+        for i, req in enumerate(batch):
+            images[i] = req.canvas
+        out = self.eval_step(self.params, self.frozen, images)
+        has_masks = not hasattr(out, "boxes")
+        det = out if not has_masks else out[0]
+        masks = np.asarray(out[1]) if has_masks else None
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        valid = np.asarray(det.valid)
+        for i, req in enumerate(batch):
+            keep = np.flatnonzero(valid[i] & (scores[i] > req.threshold))
+            dets = []
+            for j in keep:
+                box = boxes[i, j] / req.scale
+                entry = {
+                    "box": [float(v) for v in box],
+                    "score": float(scores[i, j]),
+                    "label": self.labels[int(labels[i, j]) - 1],
+                }
+                if masks is not None:
+                    from podtpu.infer.inference import _mask_to_annotation
+                    ann = _mask_to_annotation(masks[i, j], box,
+                                              entry["label"], entry["score"])
+                    if ann is not None:
+                        entry["polygon"] = [[float(x), float(y)] for x, y
+                                            in zip(ann.xs, ann.ys)]
+                dets.append(entry)
+            req.result = {"detections": dets, "width": req.size[1],
+                          "height": req.size[0]}
+            req.event.set()
+
+
+def make_handler(server: DetectionServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "model": server.model_dir,
+                                 "labels": server.labels})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/detect":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(length)
+                qs = parse_qs(parsed.query)
+                thr = float(qs.get("threshold", ["0.5"])[0])
+                self._send(200, server.detect(data, threshold=thr))
+            except Exception as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8500,
+          batch_size: int = 4) -> None:
+    """Blocking entry point for the CLI."""
+    runner = DetectionServer(model_dir, batch_size=batch_size)
+    httpd = ThreadingHTTPServer((host, port), make_handler(runner))
+    print(f"podtpu serving {model_dir} on {host}:{port} "
+          f"(batch {batch_size}, labels {runner.labels})")
+    try:
+        httpd.serve_forever()
+    finally:
+        runner.close()

@@ -1,0 +1,88 @@
+"""Micro-batching HTTP inference server tests (new serving capability)."""
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def served(trained_model):
+    from podtpu.infer.server import DetectionServer, make_handler
+
+    runner = DetectionServer(trained_model, batch_size=2, batch_timeout_ms=5)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(runner))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield runner, port
+    httpd.shutdown()
+    runner.close()
+
+
+def synth_image_bytes(seed=0, size=160):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(10, 40, (size, size, 3)).astype(np.uint8)
+    img[40:90, 50:110] = (230, 230, 240)  # a bright particle
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+class TestDetectionServer:
+    def test_healthz(self, served):
+        _, port = served
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+            payload = json.loads(resp.read())
+        assert payload["status"] == "ok"
+        assert payload["labels"] == ["particle"]
+
+    def test_detect_endpoint(self, served):
+        _, port = served
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect?threshold=0.05",
+            data=synth_image_bytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            payload = json.loads(resp.read())
+        assert payload["width"] == 160 and payload["height"] == 160
+        for det in payload["detections"]:
+            x1, y1, x2, y2 = det["box"]
+            assert 0 <= x1 <= x2 <= 160
+            assert 0 <= y1 <= y2 <= 160
+            assert det["label"] == "particle"
+            assert 0 <= det["score"] <= 1
+
+    def test_concurrent_requests_batch(self, served):
+        """Several clients in flight at once all get answers (coalesced
+        into micro-batches)."""
+        runner, port = served
+        results = [None] * 4
+
+        def call(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect",
+                data=synth_image_bytes(seed=i), method="POST")
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                results[i] = json.loads(resp.read())
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None and "detections" in r for r in results)
+
+    def test_bad_payload_is_400(self, served):
+        _, port = served
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=b"not an image",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 400
