@@ -117,10 +117,13 @@ def bench_e2e():
                  data=DataConfig())
     dataset = DetectionDataset(project, image_size=model_cfg.image_size,
                                max_gt=model_cfg.max_gt_boxes)
-    # Batches are device_put by the loader's producer thread so the upload
-    # overlaps the previous step (critical over remote-TPU links).
+    # uint8 batches keep the in-line host->device transfer small; producer-
+    # thread device_put (Loader place=...) measured SLOWER on tunneled TPU
+    # links (serialises with step dispatch), so batches ship from the main
+    # thread here.  BENCH_E2E_PREFETCH=1 re-enables it for local chips.
+    place = jax.devices()[0] if os.environ.get("BENCH_E2E_PREFETCH") else None
     loader = Loader(dataset, BATCH, shuffle=True, num_workers=4, prefetch=3,
-                    place=jax.devices()[0])
+                    place=place)
 
     model = FasterRCNN(cfg=model_cfg)
     variables = init_variables(model, jax.random.key(0))

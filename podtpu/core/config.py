@@ -149,6 +149,12 @@ class DataConfig:
     hflip_prob: float = 0.5
     vflip_prob: float = 0.5
     photometric_distort: bool = True
+    # device_put batches from the loader's producer thread (overlaps H2D
+    # with compute on locally-attached accelerators).  OFF by default:
+    # on tunneled/remote-TPU links the client serialises transfers with
+    # step dispatch and throughput drops; uint8 batches keep the in-line
+    # transfer small either way.
+    device_prefetch: bool = False
     # Batch-level Simple Copy-Paste (reference engine/transforms.py:475-626),
     # applied before the per-image policy.
     copy_paste: bool = False

@@ -106,6 +106,11 @@ def decode_resize_batch(
         orig_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
     if failures:
         return None
+    # The dataset/loader contract is uint8 canvases (4x less host->device
+    # transfer; the jitted steps normalise on device).  The C++ pipeline
+    # writes [0,1] float32 — quantise here (sub-1/255 interpolation detail
+    # is below photographic noise).
+    canvases = np.clip(canvases * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return canvases, scales, orig_hw
 
 

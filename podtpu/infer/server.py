@@ -69,9 +69,8 @@ class DetectionServer:
         h, w = arr.shape[:2]
         resized, scale = fit_resize(arr, self.cfg.image_size)
         ch, cw = self.cfg.image_size
-        canvas = np.zeros((ch, cw, 3), np.float32)
-        canvas[: resized.shape[0], : resized.shape[1]] = \
-            resized.astype(np.float32) / 255.0
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[: resized.shape[0], : resized.shape[1]] = resized
         req = _Request(canvas, scale, (h, w), threshold)
         self._q.put(req)
         req.event.wait()
@@ -110,7 +109,7 @@ class DetectionServer:
     def _process(self, batch: List[_Request]):
         bs = self.batch_size
         ch, cw = self.cfg.image_size
-        images = np.zeros((bs, ch, cw, 3), np.float32)
+        images = np.zeros((bs, ch, cw, 3), np.uint8)
         for i, req in enumerate(batch):
             images[i] = req.canvas
         out = self.eval_step(self.params, self.frozen, images)

@@ -116,8 +116,10 @@ def infer_tiled(
             arr = np.asarray(im.convert("RGB"))
     else:
         arr = np.asarray(image)
-    if arr.dtype != np.float32:
-        arr = arr.astype(np.float32) / 255.0
+        if arr.dtype not in (np.uint8, np.float32):
+            arr = arr.astype(np.float32)
+    # uint8 tiles ship as-is (4x less transfer); the eval step normalises
+    # on device.  Float inputs are assumed already in [0, 1].
     h, w = arr.shape[:2]
 
     origins = [(y, x) for y in tile_origins(h, tile, stride)
@@ -126,7 +128,7 @@ def infer_tiled(
     detections: List[TiledDetection] = []
     for start in range(0, len(origins), batch_size):
         chunk = origins[start: start + batch_size]
-        batch = np.zeros((batch_size, tile, tile, 3), np.float32)
+        batch = np.zeros((batch_size, tile, tile, 3), arr.dtype)
         extents = []
         for bi, (y, x) in enumerate(chunk):
             sub = arr[y: y + tile, x: x + tile]

@@ -64,9 +64,10 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         shard_idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, shard_idx)
         rng_aug, rng_model = jax.random.split(rng)
+        from podtpu.train.step import images_to_float
         images, boxes, labels, valid, masks = (
-            batch["image"], batch["boxes"], batch["labels"], batch["valid"],
-            batch.get("masks"))
+            images_to_float(batch["image"]), batch["boxes"],
+            batch["labels"], batch["valid"], batch.get("masks"))
         if cfg.data.copy_paste:
             from podtpu.ops.image_ops import copy_paste_batch
             rng_cp, rng_aug = jax.random.split(rng_aug)
@@ -125,8 +126,9 @@ def make_dp_eval_step(model: FasterRCNN, mesh: Mesh, axis_name: str = "data"):
     batch_spec = P(axis_name)
 
     def per_shard(params, frozen, images):
-        return model.apply({"params": params, "frozen": frozen}, images,
-                           train=False)
+        from podtpu.train.step import images_to_float
+        return model.apply({"params": params, "frozen": frozen},
+                           images_to_float(images), train=False)
 
     sharded = shard_map(
         per_shard, mesh=mesh,

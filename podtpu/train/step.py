@@ -20,6 +20,14 @@ from podtpu.core.config import Config
 from podtpu.models.detector import FasterRCNN
 
 
+def images_to_float(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 canvases -> [0,1] float on device (loaders ship uint8: 4x
+    less host->device transfer); float inputs pass through unchanged."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 class TrainState(NamedTuple):
     params: Any
     frozen: Any
@@ -50,8 +58,8 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
                 lr: jnp.ndarray):
         rng_aug, rng_model = jax.random.split(rng)
         images, boxes, labels, valid, masks = (
-            batch["image"], batch["boxes"], batch["labels"], batch["valid"],
-            batch.get("masks"))
+            images_to_float(batch["image"]), batch["boxes"],
+            batch["labels"], batch["valid"], batch.get("masks"))
         if cfg.data.copy_paste:
             rng_cp, rng_aug = jax.random.split(rng_aug)
             from podtpu.ops.image_ops import copy_paste_batch
@@ -91,8 +99,8 @@ def make_eval_step(model: FasterRCNN):
     """Jitted inference step: (variables, images) -> Detections [+ masks]."""
 
     def step_fn(params, frozen, images):
-        return model.apply({"params": params, "frozen": frozen}, images,
-                           train=False)
+        return model.apply({"params": params, "frozen": frozen},
+                           images_to_float(images), train=False)
 
     return jax.jit(step_fn)
 

@@ -141,13 +141,14 @@ def train(project: Project,
         mesh = None
         train_place = jax.devices()[0]
 
-    # Train batches are placed on device (or sharded over the mesh) by the
-    # loader's producer thread, overlapping host->device transfer with the
-    # previous step's compute; the eval loader stays host-side (evaluation
-    # indexes batch fields on the host).
-    loader_train = Loader(dataset, global_batch, indices=train_idx,
-                          shuffle=True, seed=seed, num_workers=num_workers,
-                          place=train_place)
+    # With device_prefetch, train batches are placed on device (or sharded
+    # over the mesh) by the loader's producer thread, overlapping
+    # host->device transfer with the previous step's compute; the eval
+    # loader stays host-side (evaluation indexes batch fields on the host).
+    loader_train = Loader(
+        dataset, global_batch, indices=train_idx, shuffle=True, seed=seed,
+        num_workers=num_workers,
+        place=train_place if cfg.data.device_prefetch else None)
     loader_test = Loader(dataset, global_batch, indices=test_idx,
                          shuffle=False, num_workers=num_workers)
 

@@ -30,7 +30,7 @@ class TestNativeDecode:
         assert res is not None
         canv, scales, orig = res
         assert canv.shape == (6, 128, 160, 3)
-        assert canv.min() >= 0.0 and canv.max() <= 1.0
+        assert canv.dtype == np.uint8
         for i in range(6):
             h, w = orig[i]
             assert scales[i] == pytest.approx(min(128 / h, 160 / w), rel=1e-5)
@@ -45,10 +45,11 @@ class TestNativeDecode:
         res = native.decode_resize_batch([str(p)], (128, 128))
         canv = res[0][0]
         resized, scale = fit_resize(arr, (128, 128))
-        want = np.zeros((128, 128, 3), np.float32)
-        want[: resized.shape[0], : resized.shape[1]] = resized / 255.0
-        # cv2 uses fixed-point bilinear; allow quantisation differences.
-        assert np.abs(canv - want).max() < 0.02
+        want = np.zeros((128, 128, 3), np.uint8)
+        want[: resized.shape[0], : resized.shape[1]] = resized
+        # cv2 uses fixed-point bilinear; allow quantisation differences
+        # (uint8 canvases: compare in int space).
+        assert np.abs(canv.astype(int) - want.astype(int)).max() <= 5
 
     def test_missing_file_returns_none(self, tmp_path):
         res = native.decode_resize_batch([str(tmp_path / "nope.jpg")],
@@ -64,7 +65,8 @@ class TestNativeDecode:
         batch_samples = ds.load_batch([0, 1, 2, 3])
         single = [ds.load(i) for i in range(4)]
         for a, b in zip(batch_samples, single):
-            assert np.abs(a.image - b.image).max() < 0.02
+            assert np.abs(a.image.astype(int)
+                          - b.image.astype(int)).max() <= 5
             assert np.allclose(a.boxes, b.boxes, atol=1e-4)
             assert a.scale == pytest.approx(b.scale)
 
