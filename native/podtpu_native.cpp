@@ -148,15 +148,27 @@ static void area_weights(int dst, float f, std::vector<int>& starts,
   }
 }
 
+}  // extern "C" — the helpers below use overloads/templates (C++ linkage);
+// exported entry points re-declare extern "C" individually.
+
+// Output stores: float canvases are normalised to [0,1]; uint8 canvases
+// keep the byte range (the device normalises) — 4x less host->device
+// transfer and no quantisation pass on the wrapper.
+static inline void store_px(float v, float* p) { *p = v * (1.0f / 255.0f); }
+static inline void store_px(float v, uint8_t* p) {
+  float r = v + 0.5f;
+  *p = (uint8_t)(r < 0.0f ? 0.0f : (r > 255.0f ? 255.0f : r));
+}
+
+template <typename OutT>
 static void resize_into_canvas(const uint8_t* src, int sh, int sw,
-                               float* canvas, int ch, int cw,
+                               OutT* canvas, int ch, int cw,
                                float* scale_out) {
   float scale = std::min(float(ch) / sh, float(cw) / sw);
   int nh = std::max(1, int(std::lround(sh * scale)));
   int nw = std::max(1, int(std::lround(sw * scale)));
   *scale_out = scale;
-  memset(canvas, 0, size_t(ch) * cw * 3 * sizeof(float));
-  const float inv = 1.0f / 255.0f;
+  memset(canvas, 0, size_t(ch) * cw * 3 * sizeof(OutT));
   const float fy = float(sh) / nh;
   const float fx = float(sw) / nw;
 
@@ -171,7 +183,7 @@ static void resize_into_canvas(const uint8_t* src, int sh, int sw,
     for (int y = 0, o = 0; y < nh; ++y) { yoff[y] = o; o += yc[y]; }
     for (int x = 0, o = 0; x < nw; ++x) { xoff[x] = o; o += xc[x]; }
     for (int y = 0; y < nh; ++y) {
-      float* dst_row = canvas + size_t(y) * cw * 3;
+      OutT* dst_row = canvas + size_t(y) * cw * 3;
       for (int x = 0; x < nw; ++x) {
         float acc[3] = {0, 0, 0};
         for (int i = 0; i < yc[y]; ++i) {
@@ -185,9 +197,9 @@ static void resize_into_canvas(const uint8_t* src, int sh, int sw,
             acc[2] += w * p[2];
           }
         }
-        dst_row[x * 3 + 0] = acc[0] * inv;
-        dst_row[x * 3 + 1] = acc[1] * inv;
-        dst_row[x * 3 + 2] = acc[2] * inv;
+        store_px(acc[0], dst_row + x * 3 + 0);
+        store_px(acc[1], dst_row + x * 3 + 1);
+        store_px(acc[2], dst_row + x * 3 + 2);
       }
     }
     return;
@@ -201,7 +213,7 @@ static void resize_into_canvas(const uint8_t* src, int sh, int sw,
     int y0c = std::min(std::max(y0, 0), sh - 1);
     int y1c = std::min(y0 + 1, sh - 1);
     if (y0 < 0) wy = 0.0f;
-    float* dst_row = canvas + size_t(y) * cw * 3;
+    OutT* dst_row = canvas + size_t(y) * cw * 3;
     const uint8_t* r0 = src + size_t(y0c) * sw * 3;
     const uint8_t* r1 = src + size_t(y1c) * sw * 3;
     for (int x = 0; x < nw; ++x) {
@@ -216,17 +228,18 @@ static void resize_into_canvas(const uint8_t* src, int sh, int sw,
         float v10 = r1[x0c * 3 + c], v11 = r1[x1c * 3 + c];
         float top = v00 + (v01 - v00) * wx;
         float bot = v10 + (v11 - v10) * wx;
-        dst_row[x * 3 + c] = (top + (bot - top) * wy) * inv;
+        store_px(top + (bot - top) * wy, dst_row + x * 3 + c);
       }
     }
   }
 }
 
-// Decode one image into a float32 canvas slot.
-// Returns 0 on success, -1 on decode failure.
-int podtpu_decode_resize(const char* path, float* canvas, int canvas_h,
-                         int canvas_w, float* scale_out, int* orig_h,
-                         int* orig_w) {
+// Decode one image into a canvas slot.  Returns 0 on success, -1 on
+// decode failure.
+template <typename OutT>
+static int decode_resize_t(const char* path, OutT* canvas, int canvas_h,
+                           int canvas_w, float* scale_out, int* orig_h,
+                           int* orig_w) {
   int w = 0, h = 0;
   uint8_t* rgb = decode_file(path, &w, &h);
   if (!rgb) return -1;
@@ -237,21 +250,30 @@ int podtpu_decode_resize(const char* path, float* canvas, int canvas_h,
   return 0;
 }
 
+extern "C" int podtpu_decode_resize(const char* path, float* canvas, int canvas_h,
+                         int canvas_w, float* scale_out, int* orig_h,
+                         int* orig_w) {
+  return decode_resize_t(path, canvas, canvas_h, canvas_w, scale_out,
+                         orig_h, orig_w);
+}
+
 // Threaded batch decode: paths is n concatenated NUL-terminated strings.
 // canvases: [n, canvas_h, canvas_w, 3] float32. Returns count of failures.
-int podtpu_decode_resize_batch(const char* const* paths, int n, float* canvases,
-                               int canvas_h, int canvas_w, float* scales,
-                               int* orig_hw, int num_threads) {
+template <typename OutT>
+static int decode_resize_batch_t(const char* const* paths, int n,
+                                 OutT* canvases, int canvas_h, int canvas_w,
+                                 float* scales, int* orig_hw,
+                                 int num_threads) {
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
   auto worker = [&]() {
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      float* canvas = canvases + size_t(i) * canvas_h * canvas_w * 3;
-      int rc = podtpu_decode_resize(paths[i], canvas, canvas_h, canvas_w,
-                                    &scales[i], &orig_hw[i * 2],
-                                    &orig_hw[i * 2 + 1]);
+      OutT* canvas = canvases + size_t(i) * canvas_h * canvas_w * 3;
+      int rc = decode_resize_t(paths[i], canvas, canvas_h, canvas_w,
+                               &scales[i], &orig_hw[i * 2],
+                               &orig_hw[i * 2 + 1]);
       if (rc != 0) failures.fetch_add(1);
     }
   };
@@ -262,6 +284,22 @@ int podtpu_decode_resize_batch(const char* const* paths, int n, float* canvases,
   return failures.load();
 }
 
+extern "C" int podtpu_decode_resize_batch(const char* const* paths, int n, float* canvases,
+                               int canvas_h, int canvas_w, float* scales,
+                               int* orig_hw, int num_threads) {
+  return decode_resize_batch_t(paths, n, canvases, canvas_h, canvas_w,
+                               scales, orig_hw, num_threads);
+}
+
+// uint8 canvases (the loader's preferred contract).
+extern "C" int podtpu_decode_resize_batch_u8(const char* const* paths, int n,
+                                  uint8_t* canvases, int canvas_h,
+                                  int canvas_w, float* scales, int* orig_hw,
+                                  int num_threads) {
+  return decode_resize_batch_t(paths, n, canvases, canvas_h, canvas_w,
+                               scales, orig_hw, num_threads);
+}
+
 // ---------------------------------------------------------------------------
 // COCO evaluation inner loop (pycocotools C-extension equivalent):
 // greedy score-ordered matching of D detections to G ground truths at T IoU
@@ -269,7 +307,7 @@ int podtpu_decode_resize_batch(const char* const* paths, int n, float* canvases,
 // descending score, gts sorted non-ignored-first.
 // ---------------------------------------------------------------------------
 
-void podtpu_coco_match(const double* iou,      // [D, G]
+extern "C" void podtpu_coco_match(const double* iou,      // [D, G]
                        const uint8_t* gt_ig,   // [G]
                        const double* det_area, // [D]
                        const double* thrs,     // [T]
@@ -304,4 +342,3 @@ void podtpu_coco_match(const double* iou,      // [D, G]
   }
 }
 
-}  // extern "C"

@@ -4,7 +4,7 @@ Loads ``native/libpodtpu_native.so`` — built on demand with ``make`` if the
 toolchain is available — and exposes:
 
 * :func:`decode_resize_batch`: threaded JPEG/PNG decode + aspect-preserving
-  bilinear fit-resize into zero-padded float32 canvases (the reference's
+  bilinear fit-resize into zero-padded uint8 canvases (the reference's
   DataLoader-worker PIL decode path, SURVEY.md §2.2);
 * :func:`coco_match`: the COCO greedy matching inner loop (pycocotools
   C-extension equivalent).
@@ -66,6 +66,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.podtpu_decode_resize_batch_u8.restype = ctypes.c_int
+        lib.podtpu_decode_resize_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         lib.podtpu_coco_match.restype = None
         lib.podtpu_coco_match.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
@@ -85,32 +92,29 @@ def available() -> bool:
 def decode_resize_batch(
     paths: List[str], canvas_hw: Tuple[int, int], num_threads: int = 4
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Decode ``paths`` into ``[N, H, W, 3]`` float32 canvases.
+    """Decode ``paths`` into ``[N, H, W, 3]`` uint8 canvases.
 
-    Returns (canvases, scales [N], orig_hw [N, 2]) or None if the native
-    library is unavailable or ANY image failed to decode (caller falls back).
+    uint8 is the loader contract (4x less host->device transfer; the
+    jitted steps normalise to [0,1] on device).  Returns (canvases,
+    scales [N], orig_hw [N, 2]) or None if the native library is
+    unavailable or ANY image failed to decode (caller falls back).
     """
     lib = get_lib()
     if lib is None:
         return None
     n = len(paths)
     ch, cw = canvas_hw
-    canvases = np.zeros((n, ch, cw, 3), np.float32)
+    canvases = np.zeros((n, ch, cw, 3), np.uint8)
     scales = np.zeros((n,), np.float32)
     orig_hw = np.zeros((n, 2), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    failures = lib.podtpu_decode_resize_batch(
+    failures = lib.podtpu_decode_resize_batch_u8(
         arr, n,
-        canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ch, cw,
+        canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ch, cw,
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         orig_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
     if failures:
         return None
-    # The dataset/loader contract is uint8 canvases (4x less host->device
-    # transfer; the jitted steps normalise on device).  The C++ pipeline
-    # writes [0,1] float32 — quantise here (sub-1/255 interpolation detail
-    # is below photographic noise).
-    canvases = np.clip(canvases * 255.0 + 0.5, 0, 255).astype(np.uint8)
     return canvases, scales, orig_hw
 
 
