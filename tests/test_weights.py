@@ -32,8 +32,14 @@ def torch_layout_inverse(path_value, transform_name):
     return v
 
 
-def make_fake_state_dict(variables):
-    """A state_dict covering every mappable key, with recognisable values."""
+def make_fake_state_dict(variables, from_init=False):
+    """A state_dict covering every mappable key.
+
+    Default: recognisable random values (layout verification).  With
+    ``from_init`` the values are the model's own (sane) initialisation, so
+    a model loaded from the result can actually train — random-normal BN
+    variances would produce NaNs.
+    """
     from podtpu.models.weights import _conv, _deconv, _dense
 
     sd = {}
@@ -57,7 +63,11 @@ def make_fake_state_dict(variables):
             node = node[k]
         if not ok:
             continue
-        target = rng.normal(size=np.asarray(node).shape).astype(np.float32)
+        if from_init:
+            target = np.asarray(node, np.float32)
+        else:
+            target = rng.normal(size=np.asarray(node).shape).astype(
+                np.float32)
         if transform is _deconv:
             # ours [kH, kW, in, out] flipped -> torch [in, out, kH, kW]
             sd[torch_key] = np.ascontiguousarray(
@@ -197,6 +207,29 @@ class TestWeightImport:
         non_head = [k for k in skipped if "box_predictor" not in k]
         assert non_head == [], f"unexpectedly skipped: {non_head}"
         assert loaded == len(sd) - 4
+
+    def test_train_with_pretrained_pth(self, variables, tmp_path):
+        """The product path: train(pretrained=<.pth>) imports the checkpoint
+        and completes an epoch (the reference preloads the COCO .pth in its
+        Dockerfile and always fine-tunes from it)."""
+        torch = pytest.importorskip("torch")
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project
+
+        sd = make_fake_state_dict(variables, from_init=True)
+        tsd = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+        pth = tmp_path / "pretrained.pth"
+        torch.save(tsd, str(pth))
+
+        project = make_project(str(tmp_path / "imgs"), num_images=4)
+        out = train(project, labels=["particle"],
+                    output_dir=str(tmp_path / "models"), name="pre",
+                    batch_size=2, max_epochs=1, alrs_epochs=2,
+                    alrs_startup_factor=1, config=tiny_config(),
+                    num_workers=2, pretrained=str(pth))
+        assert (tmp_path / "models" / "pre" / "model.msgpack").exists()
 
     def test_forward_runs_with_imported_weights(self, variables):
         sd = make_fake_state_dict(variables)

@@ -66,8 +66,9 @@ def main():
                           for d in deltas))
         return scalarize(jax.grad(loss)(params))
 
+    hp = hvars["params"]
     report("rpn_head_fwdbwd",
-           slope_time(lambda i, p: head_fwdbwd(p, pyr5), hvars["params"]))
+           slope_time(lambda i: head_fwdbwd(hp, pyr5)))
 
     # ---- RPN losses (match + balanced sample + bce/l1), fwd+bwd ----
     grids = grid_anchors((CANVAS, CANVAS), tuple(cfg.strides),
@@ -139,8 +140,9 @@ def main():
                     + jnp.sum(dl.astype(jnp.float32) ** 2))
         return scalarize(jax.grad(loss)(params))
 
+    bp = bvars["params"]
     report("box_head_fwdbwd", slope_time(
-        lambda i, pp: bh_fwdbwd(pp, pooled), bvars["params"]))
+        lambda i: bh_fwdbwd(bp, pooled)))
 
     # ---- optimizer update on full param tree ----
     from podtpu.models.detector import FasterRCNN, init_variables
