@@ -113,12 +113,17 @@ def cli():
 @click.option("--num-devices", type=int, default=None,
               help="Data-parallel device count (default: all accelerator "
                    "devices; batch-size is per device)")
+@click.option("--backbone", type=click.Choice(["resnet50_fpn",
+                                               "mobilenet_v2"]),
+              default="resnet50_fpn", show_default=True,
+              help="Detector family: ResNet-50-FPN or the single-map "
+                   "MobileNetV2 variant")
 @add_options(server_options)
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          with_mask, num_devices, server, username, password,
-                          image_root):
+                          with_mask, num_devices, backbone, server, username,
+                          password, image_root):
     from podtpu.core.config import Config
     from podtpu.train.train import train
 
@@ -144,7 +149,8 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
           output_dir=output_dir, name=model, batch_size=batch_size,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,
           optimiser=optimiser, config=cfg, pretrained=pretrained,
-          resume=resume, with_mask=with_mask, num_devices=num_devices)
+          resume=resume, with_mask=with_mask, num_devices=num_devices,
+          backbone=backbone)
 
 
 @cli.command()

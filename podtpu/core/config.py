@@ -34,7 +34,13 @@ class ModelConfig:
     pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
-    # Backbone
+    # Backbone family: 'resnet50_fpn' (the reference's main model,
+    # `miso/object_detection/models.py:8`) or 'mobilenet_v2' (its second
+    # family — single 1280-channel stride-32 feature map, 5x3 anchors per
+    # location, single-level RoIAlign;
+    # `miso/instance_segmentation/training.py:7-36`).  Use
+    # ``mobilenet_config()`` for matched anchor/stride defaults.
+    backbone: str = "resnet50_fpn"
     backbone_depth: int = 50
     trainable_backbone_stages: int = 3  # of 5 (stem + 4 stages), from the top
     fpn_channels: int = 256
@@ -45,8 +51,9 @@ class ModelConfig:
     # copies outweigh the conv saving), so off by default.
     stem_space_to_depth: bool = False
 
-    # Anchors (per FPN level P2..P6)
-    anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    # Anchors: one entry per level.  An entry may itself be a tuple of
+    # sizes (single-feature-map backbones put all 5 sizes on one grid).
+    anchor_sizes: Tuple = (32, 64, 128, 256, 512)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
 
@@ -105,6 +112,43 @@ class ModelConfig:
     @property
     def num_levels(self) -> int:
         return len(self.strides)
+
+    @property
+    def anchors_per_location(self) -> int:
+        """Anchors per grid cell: ratios x (sizes at that level).  Every
+        level must carry the same count (the RPN head convs are shared)."""
+        first = self.anchor_sizes[0]
+        per_level = len(first) if isinstance(first, (tuple, list)) else 1
+        return len(self.anchor_ratios) * per_level
+
+    @property
+    def roi_strides(self) -> Tuple[int, ...]:
+        """Strides of the levels feeding the RoI heads: P2..P5 for the FPN
+        model (P6 is RPN-only, torchvision semantics); every level
+        otherwise (single-map backbones)."""
+        if self.backbone == "resnet50_fpn":
+            return tuple(self.strides[:4])
+        return tuple(self.strides)
+
+
+def mobilenet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching the reference's MobileNetV2 detector snippet
+    (`miso/instance_segmentation/training.py:7-36`): single stride-32
+    feature map, 5 sizes x 3 ratios per location, single-level RoIAlign
+    (pool 7, sampling 2).  Capacities are scaled to the single level's
+    anchor count (a 1024 canvas has 32x32x15 = 15360 anchors, vs 262k for
+    the FPN model)."""
+    base = cfg or ModelConfig()
+    return dataclasses.replace(
+        base,
+        backbone="mobilenet_v2",
+        strides=(32,),
+        anchor_sizes=((32.0, 64.0, 128.0, 256.0, 512.0),),
+        # One level: the level-assignment heuristic is moot; the XLA
+        # RoIAlign path is the validated one at C=1280 (the Pallas kernel's
+        # VMEM windows are sized for 256-channel FPN maps).
+        use_pallas_roi_align=False,
+        **kw)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,13 +40,29 @@ class FasterRCNN(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.backbone = ResNet(
-            stage_sizes=(3, 4, 6, 3), dtype=dtype,
-            trainable_stages=cfg.trainable_backbone_stages,
-            stem_space_to_depth=cfg.stem_space_to_depth, name="backbone")
-        self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype, name="fpn")
+        if cfg.backbone == "mobilenet_v2":
+            # Single-feature-map family (reference
+            # `miso/instance_segmentation/training.py:7-36`): no FPN, the
+            # RPN/RoI heads ride the one stride-32 1280-channel map.
+            from podtpu.models.mobilenet import MobileNetV2
+
+            self.backbone = MobileNetV2(
+                dtype=dtype, trainable_stages=cfg.trainable_backbone_stages,
+                name="backbone")
+            self.fpn = None
+            rpn_channels = 1280
+        elif cfg.backbone == "resnet50_fpn":
+            self.backbone = ResNet(
+                stage_sizes=(3, 4, 6, 3), dtype=dtype,
+                trainable_stages=cfg.trainable_backbone_stages,
+                stem_space_to_depth=cfg.stem_space_to_depth, name="backbone")
+            self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
+                           name="fpn")
+            rpn_channels = cfg.fpn_channels
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.rpn_head = rpn_lib.RPNHead(
-            num_anchors=len(cfg.anchor_ratios), channels=cfg.fpn_channels,
+            num_anchors=cfg.anchors_per_location, channels=rpn_channels,
             dtype=dtype, name="rpn_head")
         self.box_head = rh.BoxHead(num_classes=cfg.num_classes, dtype=dtype,
                                    name="box_head")
@@ -66,9 +82,10 @@ class FasterRCNN(nn.Module):
         mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
         std = jnp.asarray(cfg.pixel_std, jnp.float32)
         x = (images - mean) / std
-        c2345 = self.backbone(x)
-        pyramid = self.fpn(c2345)  # P2..P6
-        return pyramid
+        feats = self.backbone(x)
+        if self.fpn is None:
+            return feats  # single-map backbone: (stride-32 map,)
+        return self.fpn(feats)  # P2..P6
 
     def __call__(self, images, gt=None, train: bool = False,
                  rng: Optional[jax.Array] = None,
@@ -93,7 +110,9 @@ class FasterRCNN(nn.Module):
         if return_proposals and not train:
             return proposals
 
-        box_levels = pyramid[:4]  # P2..P5 feed the RoI heads
+        # P2..P5 feed the RoI heads on the FPN model (P6 is RPN-only);
+        # single-map backbones use their one level.
+        box_levels = pyramid[:len(cfg.roi_strides)]
         b = images.shape[0]
 
         if train:
@@ -229,13 +248,26 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
 
 
 def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
-                with_mask: bool = False) -> Tuple[FasterRCNN, ModelConfig]:
+                with_mask: bool = False,
+                backbone: Optional[str] = None) -> Tuple[FasterRCNN, ModelConfig]:
     """Model factory mirroring the reference's
     ``get_object_detection_model(num_classes)`` /
     ``get_instance_segmentation_model`` (`miso/object_detection/models.py:7-25`):
-    ``num_classes`` INCLUDES background (reference passes len(labels)+1)."""
+    ``num_classes`` INCLUDES background (reference passes len(labels)+1).
+
+    ``backbone="mobilenet_v2"`` builds the reference's second family (the
+    single-map MobileNetV2 Faster R-CNN of
+    `miso/instance_segmentation/training.py:7-36`) with matched
+    anchor/stride defaults.
+    """
     import dataclasses
+
+    from podtpu.core.config import mobilenet_config
     cfg = cfg or ModelConfig()
+    if backbone == "mobilenet_v2" and cfg.backbone != "mobilenet_v2":
+        cfg = mobilenet_config(cfg)
+    elif backbone is not None and backbone != cfg.backbone:
+        cfg = dataclasses.replace(cfg, backbone=backbone)
     cfg = dataclasses.replace(cfg, num_classes=num_classes,
                               with_mask=with_mask or cfg.with_mask)
     return FasterRCNN(cfg=cfg), cfg

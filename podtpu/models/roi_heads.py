@@ -202,10 +202,10 @@ def pool_rois(
     cfg: ModelConfig,
     pool_size: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Multi-level RoIAlign over the box-head levels (P2..P5), one image."""
+    """Multi-level RoIAlign over the box-head levels, one image."""
     return multilevel_roi_align(
         flat_feats, geom, rois,
-        strides=cfg.strides[:4],
+        strides=cfg.roi_strides,
         output_size=pool_size or cfg.roi_pool_size,
         sampling_ratio=cfg.roi_sampling_ratio,
         canonical_scale=cfg.roi_canonical_scale,
@@ -222,18 +222,20 @@ def pool_rois_batched(
     """Batched multi-level RoIAlign: Pallas kernel on TPU, XLA elsewhere.
 
     Args:
-      pyramid: P2..P5 level maps ``[B, Hl, Wl, C]``.
+      pyramid: the box-head level maps ``[B, Hl, Wl, C]`` (P2..P5 for the
+        FPN model; the single map for single-level backbones).
       rois: ``[B, K, 4]``.
     Returns ``[B, K, P, P, C]``.
     """
     import jax as _jax
 
     size = pool_size or cfg.roi_pool_size
+    n_lvl = len(cfg.roi_strides)
     if cfg.use_pallas_roi_align and _jax.default_backend() == "tpu":
         from podtpu.ops.pallas.roi_align_kernel import batched_roi_align_pallas
 
         return batched_roi_align_pallas(
-            tuple(pyramid[:4]), rois, tuple(cfg.strides[:4]),
+            tuple(pyramid[:n_lvl]), rois, cfg.roi_strides,
             output_size=size,
             sampling_ratio=cfg.roi_sampling_ratio,
             canonical_scale=cfg.roi_canonical_scale,
@@ -241,7 +243,7 @@ def pool_rois_batched(
         )
     from podtpu.ops.roi_align import flatten_levels
 
-    flat, geom = flatten_levels(list(pyramid[:4]))
+    flat, geom = flatten_levels(list(pyramid[:n_lvl]))
     return jax.vmap(
         lambda f, r: pool_rois(f, geom, r, cfg, pool_size=size)
     )(flat, rois)

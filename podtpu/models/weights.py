@@ -124,6 +124,52 @@ def torchvision_key_map() -> Dict[str, Tuple[str, str, callable]]:
     return m
 
 
+def mobilenet_v2_key_map(prefix: str = "backbone") -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``mobilenet_v2`` state_dict -> podtpu MobileNetV2 paths.
+
+    Covers the ``features.*`` trunk the reference's snippet extracts
+    (`miso/instance_segmentation/training.py:7`); ``classifier.*`` keys are
+    ignored (the detector has no use for them).  Depthwise conv weights are
+    torch ``[C, 1, 3, 3]`` -> flax group-conv HWIO ``[3, 3, 1, C]`` via the
+    same OIHW->HWIO transpose as ordinary convs.
+    """
+    bn_stats = (("weight", "weight"), ("bias", "bias"),
+                ("running_mean", "mean"), ("running_var", "var"))
+    pre = f"{prefix}/" if prefix else ""
+
+    def bn(tv: str, ours: str, m: dict):
+        for stat, name in bn_stats:
+            m[f"{tv}.{stat}"] = ("frozen", f"{ours}/{name}", np.asarray)
+
+    from podtpu.models.mobilenet import V2_SETTINGS
+
+    m: Dict[str, Tuple[str, str, callable]] = {}
+    m["features.0.0.weight"] = ("params", f"{pre}stem/kernel", _conv)
+    bn("features.0.1", f"{pre}bn_stem", m)
+    idx = 0
+    for t, _c, n, _s in V2_SETTINGS:
+        for _ in range(n):
+            idx += 1
+            tv = f"features.{idx}.conv"
+            op = f"{pre}block{idx}"
+            if t == 1:  # no expand: conv.0=dw ConvBNReLU, conv.1/2=project
+                m[f"{tv}.0.0.weight"] = ("params", f"{op}/dw/kernel", _conv)
+                bn(f"{tv}.0.1", f"{op}/bn_dw", m)
+                m[f"{tv}.1.weight"] = ("params", f"{op}/project/kernel", _conv)
+                bn(f"{tv}.2", f"{op}/bn_project", m)
+            else:
+                m[f"{tv}.0.0.weight"] = ("params", f"{op}/expand/kernel",
+                                         _conv)
+                bn(f"{tv}.0.1", f"{op}/bn_expand", m)
+                m[f"{tv}.1.0.weight"] = ("params", f"{op}/dw/kernel", _conv)
+                bn(f"{tv}.1.1", f"{op}/bn_dw", m)
+                m[f"{tv}.2.weight"] = ("params", f"{op}/project/kernel", _conv)
+                bn(f"{tv}.3", f"{op}/bn_project", m)
+    m["features.18.0.weight"] = ("params", f"{pre}head/kernel", _conv)
+    bn("features.18.1", f"{pre}bn_head", m)
+    return m
+
+
 def _fc6_from_torch(w, pooled_hw: int = 7, channels: int = 256) -> np.ndarray:
     """torchvision fc6 consumes NCHW-flattened pooled features
     (C, H, W order); our box head flattens NHWC (H, W, C).  Permute the
@@ -153,10 +199,16 @@ def _set_path(tree: dict, path: str, value: np.ndarray) -> bool:
 
 def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
                                    verbose: bool = False,
-                                   return_stats: bool = False):
+                                   return_stats: bool = False,
+                                   key_map: Dict = None):
     """Copy matching weights from a torchvision state_dict into ``variables``
     (a dict with 'params' and 'frozen' trees).  Returns the updated copy;
     shape-mismatched heads are left at their fresh initialisation.
+
+    ``key_map`` defaults to the detection map
+    (:func:`torchvision_key_map`); a ``mobilenet_v2`` classification
+    checkpoint (keys starting with ``features.``) is auto-detected and uses
+    :func:`mobilenet_v2_key_map`.
 
     With ``return_stats`` also returns ``(loaded_count, skipped_keys)`` so
     callers can assert import completeness (a COCO
@@ -166,7 +218,11 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
     import jax
 
     out = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
-    key_map = torchvision_key_map()
+    if key_map is None:
+        if any(k.startswith("features.") for k in state_dict):
+            key_map = mobilenet_v2_key_map()
+        else:
+            key_map = torchvision_key_map()
     loaded, skipped = 0, []
     for key, tensor in state_dict.items():
         if key not in key_map:

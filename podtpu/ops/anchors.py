@@ -22,15 +22,24 @@ DEFAULT_SIZES = (32, 64, 128, 256, 512)
 DEFAULT_RATIOS = (0.5, 1.0, 2.0)
 
 
-def cell_anchors(size: float, aspect_ratios: Sequence[float]) -> np.ndarray:
-    """Zero-centred anchors ``[A, 4]`` (xyxy) for one level."""
+def cell_anchors(size, aspect_ratios: Sequence[float]) -> np.ndarray:
+    """Zero-centred anchors ``[A, 4]`` (xyxy) for one level.
+
+    ``size`` may be a scalar (FPN convention: one size per level, A =
+    len(ratios)) or a tuple of sizes (single-feature-map convention, e.g.
+    the reference's MobileNetV2 detector with 5 sizes x 3 ratios per
+    location, `miso/instance_segmentation/training.py:18-19`; A =
+    len(sizes) * len(ratios)).  Ordering matches torchvision's
+    ``AnchorGenerator``: ratio-major, size-minor.
+    """
+    sizes = np.atleast_1d(np.asarray(size, dtype=np.float32))
     ratios = np.asarray(aspect_ratios, dtype=np.float32)
     h_ratios = np.sqrt(ratios)
     w_ratios = 1.0 / h_ratios
     # Half-extents are rounded AFTER halving (torchvision AnchorGenerator
     # convention), so e.g. size 32 @ ratio 0.5 gives (+-23, +-11).
-    hw = np.round(w_ratios * size / 2.0)
-    hh = np.round(h_ratios * size / 2.0)
+    hw = np.round(w_ratios[:, None] * sizes[None, :] / 2.0).reshape(-1)
+    hh = np.round(h_ratios[:, None] * sizes[None, :] / 2.0).reshape(-1)
     return np.stack([-hw, -hh, hw, hh], axis=-1).astype(np.float32)
 
 
@@ -63,5 +72,6 @@ def grid_anchors(
     return tuple(out)
 
 
-def num_anchors_per_location(aspect_ratios=DEFAULT_RATIOS) -> int:
-    return len(aspect_ratios)
+def num_anchors_per_location(aspect_ratios=DEFAULT_RATIOS,
+                             sizes_per_level=1) -> int:
+    return len(aspect_ratios) * sizes_per_level

@@ -46,9 +46,16 @@ def load_model(model_dir: str) -> Tuple[Dict, Dict, ModelConfig, list]:
     # Tuples serialise as lists; restore the dataclass faithfully.
     field_types = {f.name: f.type for f in dataclasses.fields(ModelConfig)}
     kwargs = {}
+    def detuple(v):
+        # Recursive: anchor_sizes may nest per-level size tuples
+        # (mobilenet_v2), which must stay hashable for grid_anchors' cache.
+        if isinstance(v, list):
+            return tuple(detuple(x) for x in v)
+        return v
+
     for k, v in cfg_dict.items():
-        if k in field_types and isinstance(v, list):
-            v = tuple(v)
+        if k in field_types:
+            v = detuple(v)
         kwargs[k] = v
     model_cfg = ModelConfig(**kwargs)
     with open(os.path.join(model_dir, "model.msgpack"), "rb") as fp:

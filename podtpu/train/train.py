@@ -66,7 +66,8 @@ def train(project: Project,
           seed: int = 0,
           num_workers: int = 4,
           with_mask: bool = False,
-          num_devices: Optional[int] = None) -> str:
+          num_devices: Optional[int] = None,
+          backbone: Optional[str] = None) -> str:
     """Train a detector on ``project``; returns the model directory path.
 
     ``batch_size`` is PER DEVICE (the reference's per-GPU semantics,
@@ -89,13 +90,21 @@ def train(project: Project,
             "ids / label filters)")
 
     cfg = config or Config()
+    model_cfg = cfg.model
+    if backbone == "mobilenet_v2" and model_cfg.backbone != "mobilenet_v2":
+        # The reference's second detector family (MobileNetV2 single-map
+        # Faster R-CNN, `miso/instance_segmentation/training.py:7-36`).
+        from podtpu.core.config import mobilenet_config
+        model_cfg = mobilenet_config(model_cfg)
+    elif backbone is not None:
+        model_cfg = dataclasses.replace(model_cfg, backbone=backbone)
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(
             cfg.train, batch_size=batch_size, optimiser=optimiser,
             alrs_epochs=alrs_epochs, alrs_drops=alrs_drops,
             alrs_startup_factor=alrs_startup_factor, max_epochs=max_epochs),
-        model=dataclasses.replace(cfg.model, num_classes=len(labels) + 1,
+        model=dataclasses.replace(model_cfg, num_classes=len(labels) + 1,
                                   with_mask=with_mask or cfg.model.with_mask),
     )
 
