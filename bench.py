@@ -133,13 +133,13 @@ def bench_e2e():
     key = jax.random.key(1)
     lr = np.float32(0.005)
 
-    # Warmup epoch: compiles + fills caches.
+    # Warmup epoch: compiles + fills the decoded-canvas cache (run the FULL
+    # epoch so the timed phase measures steady state, which is what every
+    # epoch after the first looks like in real training).
     metrics = None
     for it, (batch, bvalid) in enumerate(loader):
         batch["image_weight"] = bvalid.astype(np.float32)
         state, metrics = step(state, batch, jax.random.fold_in(key, it), lr)
-        if it >= 2:
-            break
     _ = float(metrics["loss"])
 
     # Timed epochs: wall time + loader-wait split.
@@ -247,6 +247,10 @@ def main():
 
 
 if __name__ == "__main__":
+    # Persistent XLA compile cache: a warm second run starts in seconds
+    # instead of re-compiling for minutes on remote-compile TPU setups.
+    from podtpu.core.setup import enable_compilation_cache
+    enable_compilation_cache()
     if os.environ.get("BENCH_METRIC") == "tiles":
         bench_tiles()
     elif os.environ.get("BENCH_METRIC") == "e2e":

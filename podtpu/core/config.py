@@ -202,6 +202,11 @@ class DataConfig:
     # Batch-level Simple Copy-Paste (reference engine/transforms.py:475-626),
     # applied before the per-image policy.
     copy_paste: bool = False
+    # In-memory decoded-canvas cache: after epoch 0 the host pipeline skips
+    # JPEG decode (augmentation is device-side, so raw canvases are
+    # reusable).  "auto" enables it when the dataset fits the budget
+    # (default 2 GiB, override with $PODTPU_CACHE_BYTES); True/False force.
+    decode_cache: object = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

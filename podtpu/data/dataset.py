@@ -63,6 +63,8 @@ class DetectionDataset:
         label_names: Optional[Sequence[str]] = None,
         with_masks: bool = False,
         mask_stride: int = 8,
+        cache: object = "auto",
+        cache_budget_bytes: Optional[int] = None,
     ):
         self.project = project
         self.images = list(project.image_dict.values())
@@ -79,11 +81,32 @@ class DetectionDataset:
             else list(project.label_names)
         self.label_names = names
         self.label_to_index = {n: i + 1 for i, n in enumerate(names)}
+        # Decoded-canvas cache.  Samples are deterministic per index
+        # (augmentation is device-side in the jitted step), so after the
+        # first epoch the host pipeline can skip JPEG decode entirely —
+        # the dominant loader cost on CPU-poor hosts (the reference
+        # re-decodes every epoch through its DataLoader workers,
+        # `miso/object_detection/training.py:64-83`).  ``cache``:
+        # True / False / "auto" (enable when the whole dataset fits
+        # ``cache_budget_bytes``, default 2 GiB or $PODTPU_CACHE_BYTES).
+        import os as _os
+
+        budget = cache_budget_bytes if cache_budget_bytes is not None else \
+            int(_os.environ.get("PODTPU_CACHE_BYTES", 2 << 30))
+        ch, cw = self.image_size
+        per_sample = ch * cw * 3 + max_gt * 16
+        if with_masks:
+            per_sample += max_gt * (ch // mask_stride) * (cw // mask_stride) * 4
+        fits = len(self.images) * per_sample <= budget
+        enabled = (cache is True) or (cache == "auto" and fits)
+        self._cache: Optional[Dict[int, Sample]] = {} if enabled else None
 
     def __len__(self) -> int:
         return len(self.images)
 
     def load(self, i: int) -> Sample:
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         meta = self.images[i]
         with Image.open(meta.full_path) as im:
             arr = np.asarray(im.convert("RGB"))
@@ -94,7 +117,10 @@ class DetectionDataset:
         # the jitted steps convert to [0,1] float on device.
         canvas = np.zeros((ch, cw, 3), np.uint8)
         canvas[: resized.shape[0], : resized.shape[1]] = resized
-        return self._finish(meta, canvas, scale, (orig_h, orig_w), i)
+        sample = self._finish(meta, canvas, scale, (orig_h, orig_w), i)
+        if self._cache is not None:
+            self._cache[i] = sample
+        return sample
 
     def _finish(self, meta, canvas, scale, original_size, i) -> Sample:
         ch, cw = self.image_size
@@ -129,20 +155,30 @@ class DetectionDataset:
 
     def load_batch(self, indices) -> List[Sample]:
         """Batch load; uses the native C++ threaded decode pipeline when
-        available (podtpu/core/native.py), falling back to per-sample PIL."""
+        available (podtpu/core/native.py), falling back to per-sample PIL.
+        Cached samples skip decode entirely."""
         from podtpu.core import native
 
-        metas = [self.images[int(i)] for i in indices]
-        paths = [m.full_path for m in metas]
-        res = native.decode_resize_batch(paths, self.image_size)
-        if res is None:
-            return [self.load(int(i)) for i in indices]
-        canvases, scales, orig_hw = res
-        return [
-            self._finish(meta, canvases[j], float(scales[j]),
-                         (int(orig_hw[j, 0]), int(orig_hw[j, 1])), int(idx))
-            for j, (meta, idx) in enumerate(zip(metas, indices))
-        ]
+        indices = [int(i) for i in indices]
+        todo = indices if self._cache is None else \
+            [i for i in indices if i not in self._cache]
+        fresh: Dict[int, Sample] = {}
+        if todo:
+            metas = [self.images[i] for i in todo]
+            paths = [m.full_path for m in metas]
+            res = native.decode_resize_batch(paths, self.image_size)
+            if res is None:
+                for i in todo:
+                    fresh[i] = self.load(i)
+            else:
+                canvases, scales, orig_hw = res
+                for j, (meta, idx) in enumerate(zip(metas, todo)):
+                    fresh[idx] = self._finish(
+                        meta, canvases[j], float(scales[j]),
+                        (int(orig_hw[j, 0]), int(orig_hw[j, 1])), idx)
+                if self._cache is not None:
+                    self._cache.update(fresh)
+        return [fresh[i] if i in fresh else self._cache[i] for i in indices]
 
 
 def train_test_split(

@@ -65,9 +65,11 @@ def _run_inference(project: Project, model_dir: str,
     project = copy.deepcopy(project)
     project.remove_labelled_images()
 
+    # Single pass over the images: the decoded-canvas cache would only
+    # burn memory here.
     dataset = DetectionDataset(project, image_size=model_cfg.image_size,
                                max_gt=model_cfg.max_gt_boxes,
-                               label_names=model_labels)
+                               label_names=model_labels, cache=False)
     loader = Loader(dataset, batch_size, shuffle=False,
                     num_workers=num_workers)
 

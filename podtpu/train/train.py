@@ -124,7 +124,8 @@ def train(project: Project,
                                max_gt=cfg.model.max_gt_boxes,
                                label_names=labels,
                                with_masks=cfg.model.with_mask,
-                               mask_stride=cfg.model.mask_gt_stride)
+                               mask_stride=cfg.model.mask_gt_stride,
+                               cache=cfg.data.decode_cache)
     train_idx, test_idx = train_test_split(
         len(dataset), cfg.train.split_fraction, cfg.train.split_seed)
     print("Training set images")

@@ -17,6 +17,58 @@ def dataset(tmp_path_factory):
     return DetectionDataset(project, image_size=(64, 64), max_gt=4)
 
 
+class TestDecodeCache:
+    def _project(self, tmp_path):
+        return make_project(str(tmp_path / "imgs"), num_images=5)
+
+    def test_cache_hits_skip_decode(self, tmp_path, monkeypatch):
+        from podtpu.core import native
+
+        ds = DetectionDataset(self._project(tmp_path), image_size=(64, 64),
+                              max_gt=4, cache=True)
+        first = ds.load_batch([0, 1, 2])
+        calls = []
+        monkeypatch.setattr(
+            native, "decode_resize_batch",
+            lambda paths, size: calls.append(paths) or (_ for _ in ()).throw(
+                AssertionError("decode called on cached batch")))
+        second = ds.load_batch([2, 0, 1])
+        assert calls == []
+        by_idx = {s.index: s for s in first}
+        for s in second:
+            np.testing.assert_array_equal(s.image, by_idx[s.index].image)
+            np.testing.assert_array_equal(s.boxes, by_idx[s.index].boxes)
+
+    def test_partial_batch_decodes_only_missing(self, tmp_path, monkeypatch):
+        from podtpu.core import native
+
+        ds = DetectionDataset(self._project(tmp_path), image_size=(64, 64),
+                              max_gt=4, cache=True)
+        ds.load_batch([0, 1])
+        seen = []
+        orig = native.decode_resize_batch
+        monkeypatch.setattr(
+            native, "decode_resize_batch",
+            lambda paths, size: seen.append(list(paths)) or orig(paths, size))
+        out = ds.load_batch([0, 3, 1, 4])
+        assert [s.index for s in out] == [0, 3, 1, 4]
+        assert len(seen) == 1 and len(seen[0]) == 2  # only 3 and 4 decoded
+
+    def test_auto_disables_over_budget(self, tmp_path):
+        ds = DetectionDataset(self._project(tmp_path), image_size=(64, 64),
+                              max_gt=4, cache="auto", cache_budget_bytes=1)
+        assert ds._cache is None
+        ds2 = DetectionDataset(self._project(tmp_path), image_size=(64, 64),
+                               max_gt=4, cache="auto")
+        assert ds2._cache is not None  # 5 tiny images fit 2 GiB
+
+    def test_cache_false_disables(self, tmp_path):
+        ds = DetectionDataset(self._project(tmp_path), image_size=(64, 64),
+                              max_gt=4, cache=False)
+        ds.load_batch([0, 1])
+        assert ds._cache is None
+
+
 class TestLoader:
     def test_wraparound_batches_static(self, dataset):
         loader = Loader(dataset, batch_size=2, num_workers=2)

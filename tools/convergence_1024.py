@@ -26,6 +26,8 @@ CANVAS = 1024
 
 
 def main():
+    from podtpu.core.setup import enable_compilation_cache
+    enable_compilation_cache()
     print("devices:", jax.devices(), flush=True)
     root = tempfile.mkdtemp(prefix="podtpu_conv_")
     project = make_project(root, num_images=60,
