@@ -95,7 +95,7 @@ def infer_tiled(
     model_path: str,
     threshold: float = 0.5,
     overlap: float = 0.25,
-    batch_size: int = 4,
+    batch_size: int = 8,
     nms_threshold: float = 0.5,
 ) -> List[TiledDetection]:
     """Detect objects in an arbitrarily large scan image.
