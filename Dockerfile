@@ -9,7 +9,7 @@ FROM ${BASE_IMAGE}
 
 RUN apt-get update \
     && apt-get install -y --no-install-recommends \
-        g++ make libjpeg-dev libpng-dev \
+        g++ make libjpeg-dev libpng-dev libtiff-dev \
     && rm -rf /var/lib/apt/lists/*
 
 # Working directories (same contract as the reference: /models /data /obj_det).

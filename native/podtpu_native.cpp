@@ -21,6 +21,7 @@
 #include <csetjmp>
 #include <jpeglib.h>
 #include <png.h>
+#include <tiffio.h>
 
 extern "C" {
 
@@ -103,6 +104,47 @@ static uint8_t* decode_png(FILE* fp, int* w, int* h) {
   return buf;
 }
 
+// Micrograph scans are frequently TIFF (the reference's directory-inference
+// rglob includes tiff/tif, miso/object_detection/inference.py:78-88, and its
+// deps pull imagecodecs/scikit-image for them).  TIFFReadRGBAImageOriented
+// handles strip/tile layouts and the common compressions in one call.
+static uint8_t* decode_tiff(const char* path, int* w, int* h) {
+  // libtiff logs warnings (e.g. unknown EXIF tags) to stderr per image;
+  // silence them once — failures still surface as nullptr returns.
+  static bool quiet = [] {
+    TIFFSetWarningHandler(nullptr);
+    TIFFSetErrorHandler(nullptr);
+    return true;
+  }();
+  (void)quiet;
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return nullptr;
+  uint32_t ww = 0, hh = 0;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &ww);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &hh);
+  if (!ww || !hh || size_t(ww) * hh > (size_t(1) << 31)) {
+    TIFFClose(tif);
+    return nullptr;
+  }
+  std::vector<uint32_t> raster;
+  raster.resize(size_t(ww) * hh);
+  int ok = TIFFReadRGBAImageOriented(tif, ww, hh, raster.data(),
+                                     ORIENTATION_TOPLEFT, 0);
+  TIFFClose(tif);
+  if (!ok) return nullptr;
+  uint8_t* buf = static_cast<uint8_t*>(malloc(size_t(ww) * hh * 3));
+  if (!buf) return nullptr;
+  for (size_t i = 0; i < size_t(ww) * hh; ++i) {
+    uint32_t p = raster[i];
+    buf[i * 3 + 0] = TIFFGetR(p);
+    buf[i * 3 + 1] = TIFFGetG(p);
+    buf[i * 3 + 2] = TIFFGetB(p);
+  }
+  *w = int(ww);
+  *h = int(hh);
+  return buf;
+}
+
 static uint8_t* decode_file(const char* path, int* w, int* h) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return nullptr;
@@ -110,6 +152,11 @@ static uint8_t* decode_file(const char* path, int* w, int* h) {
   size_t n = fread(magic, 1, 8, fp);
   rewind(fp);
   uint8_t* out = nullptr;
+  bool is_tiff =
+      n >= 4 && ((magic[0] == 'I' && magic[1] == 'I' && magic[2] == 0x2A &&
+                  magic[3] == 0x00) ||
+                 (magic[0] == 'M' && magic[1] == 'M' && magic[2] == 0x00 &&
+                  magic[3] == 0x2A));
   if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
     out = decode_jpeg(fp, w, h);
   } else if (n >= 4 && magic[0] == 0x89 && magic[1] == 'P' &&
@@ -117,6 +164,9 @@ static uint8_t* decode_file(const char* path, int* w, int* h) {
     out = decode_png(fp, w, h);
   }
   fclose(fp);
+  if (!out && is_tiff) {
+    out = decode_tiff(path, w, h);  // libtiff opens by path itself
+  }
   return out;
 }
 

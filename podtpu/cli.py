@@ -118,12 +118,16 @@ def cli():
               default="resnet50_fpn", show_default=True,
               help="Detector family: ResNet-50-FPN or the single-map "
                    "MobileNetV2 variant")
+@click.option("--test-tasks", type=str, default=None,
+              help="Comma-separated CVAT task ids held out for evaluation "
+                   "(fixes the reference's same-task random split; default "
+                   "keeps the seeded 80/20 split)")
 @add_options(server_options)
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          with_mask, num_devices, backbone, server, username,
-                          password, image_root):
+                          with_mask, num_devices, backbone, test_tasks,
+                          server, username, password, image_root):
     from podtpu.core.config import Config
     from podtpu.train.train import train
 
@@ -133,12 +137,18 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
 
     project = _load_tasks(task_ids, server, wsl2, api, username, password,
                           image_root=image_root)
+    test_project = None
+    if test_tasks:
+        test_ids = [int(t.strip()) for t in test_tasks.split(",")]
+        test_project = _load_tasks(test_ids, server, wsl2, api, username,
+                                   password, image_root=image_root)
 
     if merge_label is not None:
-        for label in list(project.label_dict.values()):
-            if labels and label.name in labels:
-                project.rename_label(label.name, merge_label)
-        project.update_label_dict()
+        for proj in [project] + ([test_project] if test_project else []):
+            for label in list(proj.label_dict.values()):
+                if labels and label.name in labels:
+                    proj.rename_label(label.name, merge_label)
+            proj.update_label_dict()
         labels = [merge_label]
 
     cfg = Config()
@@ -150,7 +160,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,
           optimiser=optimiser, config=cfg, pretrained=pretrained,
           resume=resume, with_mask=with_mask, num_devices=num_devices,
-          backbone=backbone)
+          backbone=backbone, test_project=test_project)
 
 
 @cli.command()

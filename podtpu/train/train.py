@@ -67,7 +67,8 @@ def train(project: Project,
           num_workers: int = 4,
           with_mask: bool = False,
           num_devices: Optional[int] = None,
-          backbone: Optional[str] = None) -> str:
+          backbone: Optional[str] = None,
+          test_project: Optional[Project] = None) -> str:
     """Train a detector on ``project``; returns the model directory path.
 
     ``batch_size`` is PER DEVICE (the reference's per-GPU semantics,
@@ -76,6 +77,13 @@ def train(project: Project,
     on the CPU backend); the multi-device path is the shard_map DP step
     (``podtpu.parallel.dp``), the reference's DDP recipe
     (`engine/train.py:165-296`) expressed as one pjit-compiled program.
+
+    ``test_project``: an optional HELD-OUT evaluation set (e.g. separate
+    CVAT tasks, ``--test-tasks`` on the CLI).  When given, ALL of
+    ``project`` trains and evaluation runs on ``test_project`` — the
+    fix for the reference's same-tasks random split (its own TODO,
+    `miso/cli.py:118`; SURVEY.md §7 quirks).  Default keeps the
+    reference's seeded 80/20 split for parity.
     """
     # -- project fixup (reference training.py:27-32) -------------------------
     project = copy.deepcopy(project)
@@ -120,18 +128,36 @@ def train(project: Project,
     project.summary()
 
     # -- data ---------------------------------------------------------------
-    dataset = DetectionDataset(project, image_size=cfg.model.image_size,
-                               max_gt=cfg.model.max_gt_boxes,
-                               label_names=labels,
-                               with_masks=cfg.model.with_mask,
-                               mask_stride=cfg.model.mask_gt_stride,
-                               cache=cfg.data.decode_cache)
-    train_idx, test_idx = train_test_split(
-        len(dataset), cfg.train.split_fraction, cfg.train.split_seed)
+    def make_ds(p):
+        return DetectionDataset(p, image_size=cfg.model.image_size,
+                                max_gt=cfg.model.max_gt_boxes,
+                                label_names=labels,
+                                with_masks=cfg.model.with_mask,
+                                mask_stride=cfg.model.mask_gt_stride,
+                                cache=cfg.data.decode_cache)
+
+    dataset = make_ds(project)
+    if test_project is not None:
+        # Held-out task evaluation: train on everything, evaluate on the
+        # separate project (same label universe).
+        tp = copy.deepcopy(test_project)
+        tp.keep_annotations_with_label(labels)
+        tp.remove_unlabelled_images()
+        test_dataset = make_ds(tp)
+        if len(test_dataset) == 0:
+            raise ValueError("test_project has no annotated images with the "
+                             "requested labels")
+        train_idx = np.arange(len(dataset))
+        test_idx = np.arange(len(test_dataset))
+    else:
+        test_dataset = dataset
+        train_idx, test_idx = train_test_split(
+            len(dataset), cfg.train.split_fraction, cfg.train.split_seed)
     print("Training set images")
     print(f"- total: {len(dataset)}")
     print(f"- train: {len(train_idx)}")
-    print(f"- test:  {len(test_idx)}")
+    print(f"- test:  {len(test_idx)}"
+          + (" (held-out tasks)" if test_project is not None else ""))
 
     # -- device mesh ----------------------------------------------------------
     if num_devices is None:
@@ -159,7 +185,7 @@ def train(project: Project,
         dataset, global_batch, indices=train_idx, shuffle=True, seed=seed,
         num_workers=num_workers,
         place=train_place if cfg.data.device_prefetch else None)
-    loader_test = Loader(dataset, global_batch, indices=test_idx,
+    loader_test = Loader(test_dataset, global_batch, indices=test_idx,
                          shuffle=False, num_workers=num_workers)
 
     # -- model + optimizer ---------------------------------------------------

@@ -35,6 +35,31 @@ class TestNativeDecode:
             h, w = orig[i]
             assert scales[i] == pytest.approx(min(128 / h, 160 / w), rel=1e-5)
 
+    @pytest.mark.parametrize("mode_comp", [
+        ("RGB", None), ("RGB", "tiff_lzw"), ("RGB", "tiff_deflate"),
+        ("L", None)])
+    def test_tiff_decodes_exactly(self, tmp_path, mode_comp):
+        """TIFF (the micrograph-scan format; reference rglobs tiff/tif,
+        `miso/object_detection/inference.py:78-88`) decodes natively,
+        byte-identical to PIL, across compressions and grayscale."""
+        mode, compression = mode_comp
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 255, (90, 70, 3)).astype(np.uint8)
+        im = Image.fromarray(arr)
+        if mode == "L":
+            im = im.convert("L")
+            arr = np.stack([np.asarray(im)] * 3, axis=-1)
+        p = tmp_path / f"scan_{compression or 'raw'}_{mode}.tif"
+        im.save(p, compression=compression)
+        # Canvas exactly the image size: decode is 1:1, so the native
+        # output must equal the source bytes.
+        res = native.decode_resize_batch([str(p)], (90, 70))
+        assert res is not None
+        canv, scales, orig = res
+        assert tuple(orig[0]) == (90, 70)
+        assert scales[0] == pytest.approx(1.0)
+        np.testing.assert_array_equal(canv[0], arr)
+
     def test_png_matches_python_path(self, tmp_path):
         from podtpu.data.dataset import fit_resize
 

@@ -35,3 +35,40 @@ class TestTrainE2E:
 
     def test_resume_checkpoint_written(self, trained_model):
         assert os.path.exists(os.path.join(trained_model, "checkpoint.pkl"))
+
+
+class TestHeldOutTasks:
+    def test_train_with_test_project(self, tmp_path, capsys):
+        """test_project: all of the main project trains; evaluation runs on
+        the held-out project (the reference's own TODO, miso/cli.py:118)."""
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project
+
+        train_p = make_project(str(tmp_path / "train_imgs"), num_images=4)
+        held_p = make_project(str(tmp_path / "test_imgs"), num_images=3,
+                              seed=9)
+        out = train(train_p, labels=["particle"],
+                    output_dir=str(tmp_path / "models"), name="held",
+                    batch_size=2, max_epochs=1, alrs_epochs=2,
+                    alrs_startup_factor=1, config=tiny_config(),
+                    num_workers=2, test_project=held_p)
+        assert os.path.exists(os.path.join(out, "results.txt"))
+        text = capsys.readouterr().out
+        assert "- train: 4" in text
+        assert "- test:  3 (held-out tasks)" in text
+
+    def test_empty_test_project_raises(self, tmp_path):
+        import pytest
+
+        from podtpu.data.project import Project
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project
+
+        train_p = make_project(str(tmp_path / "imgs"), num_images=4)
+        with pytest.raises(ValueError, match="test_project"):
+            train(train_p, labels=["particle"],
+                  output_dir=str(tmp_path / "models"), name="x",
+                  batch_size=2, max_epochs=1, config=tiny_config(),
+                  test_project=Project())
