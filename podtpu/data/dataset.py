@@ -33,6 +33,12 @@ class Sample:
     original_size: Tuple[int, int]  # (h, w)
     index: int
     masks: Optional[np.ndarray] = None  # [G, H/ms, W/ms] float32 bitmaps
+    # False when the image failed to decode: the sample is a zero canvas
+    # with no gt, and the loader folds it into batch_valid so training and
+    # evaluation ignore it (the reference skips unreadable images with a
+    # print at project load, `cvat_web_api.py:231-233`; this extends the
+    # same policy to decode-time failures instead of crashing the run).
+    ok: bool = True
 
 
 def fit_resize(image: np.ndarray, canvas: Tuple[int, int]):
@@ -100,16 +106,40 @@ class DetectionDataset:
         fits = len(self.images) * per_sample <= budget
         enabled = (cache is True) or (cache == "auto" and fits)
         self._cache: Optional[Dict[int, Sample]] = {} if enabled else None
+        self._warned: set = set()
 
     def __len__(self) -> int:
         return len(self.images)
+
+    def _failed(self, meta, i) -> Sample:
+        if meta.full_path not in self._warned:
+            self._warned.add(meta.full_path)
+            print(f"[podtpu] could not decode {meta.full_path}; "
+                  "skipping image")
+        ch, cw = self.image_size
+        g = self.max_gt
+        mh, mw = ch // self.mask_stride, cw // self.mask_stride
+        return Sample(
+            image=np.zeros((ch, cw, 3), np.uint8),
+            boxes=np.zeros((g, 4), np.float32),
+            labels=np.zeros((g,), np.int32),
+            valid=np.zeros((g,), bool), scale=1.0, original_size=(ch, cw),
+            index=i, ok=False,
+            masks=np.zeros((g, mh, mw), np.float32) if self.with_masks
+            else None)
 
     def load(self, i: int) -> Sample:
         if self._cache is not None and i in self._cache:
             return self._cache[i]
         meta = self.images[i]
-        with Image.open(meta.full_path) as im:
-            arr = np.asarray(im.convert("RGB"))
+        try:
+            with Image.open(meta.full_path) as im:
+                arr = np.asarray(im.convert("RGB"))
+        except Exception:
+            sample = self._failed(meta, i)
+            if self._cache is not None:
+                self._cache[i] = sample
+            return sample
         orig_h, orig_w = arr.shape[:2]
         resized, scale = fit_resize(arr, self.image_size)
         ch, cw = self.image_size

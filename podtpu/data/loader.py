@@ -93,11 +93,16 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def finish(batch):
+        def finish(samples, bvalid):
+            # Decode failures yield ok=False samples: fold them into the
+            # batch mask so train (loss weight 0) and eval (skip) ignore
+            # them, same as wrap-around duplicates.
+            bvalid = bvalid & np.asarray([s.ok for s in samples], bool)
+            batch = collate(samples)
             if self.place is not None:
                 import jax
                 batch = jax.device_put(batch, self.place)
-            return batch
+            return batch, bvalid
 
         def producer():
             # The dataset's batch loader dispatches to the native C++
@@ -112,14 +117,14 @@ class Loader:
                     # Bound the number of in-flight batch jobs.
                     while len(futures) > max(2, self.prefetch):
                         fut, bv = futures.pop(0)
-                        out_q.put((finish(collate(fut.result())), bv))
+                        out_q.put(finish(fut.result(), bv))
                         if stop.is_set():
                             out_q.put(None)
                             return
                 for fut, bv in futures:
                     if stop.is_set():
                         break
-                    out_q.put((finish(collate(fut.result())), bv))
+                    out_q.put(finish(fut.result(), bv))
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -69,6 +69,42 @@ class TestDecodeCache:
         assert ds._cache is None
 
 
+class TestDecodeFailure:
+    def test_unreadable_image_marked_invalid(self, tmp_path, capsys):
+        """A missing/corrupt image file yields a weight-0 sample instead of
+        crashing the loader (the reference skips unreadable images with a
+        print at project load; we extend the policy to decode time)."""
+        project = make_project(str(tmp_path / "imgs"), num_images=4)
+        # Corrupt one file and delete another.
+        metas = list(project.image_dict.values())
+        with open(metas[1].full_path, "wb") as fp:
+            fp.write(b"not an image")
+        import os
+        os.remove(metas[2].full_path)
+        ds = DetectionDataset(project, image_size=(64, 64), max_gt=4)
+        loader = Loader(ds, 2, shuffle=False, num_workers=2)
+        batches = list(loader)
+        valid = np.concatenate([bv for _, bv in batches])
+        assert valid.sum() == 2  # two good images
+        # The bad slots carry no gt and a zero canvas.
+        bad_batch, bad_valid = batches[1 // 2]
+        assert "could not decode" in capsys.readouterr().out
+
+    def test_failed_sample_shape_contract(self, tmp_path):
+        project = make_project(str(tmp_path / "imgs"), num_images=2)
+        metas = list(project.image_dict.values())
+        import os
+        os.remove(metas[0].full_path)
+        ds = DetectionDataset(project, image_size=(64, 64), max_gt=4,
+                              with_masks=True, mask_stride=8)
+        s = ds.load(0)
+        assert not s.ok
+        assert s.image.shape == (64, 64, 3) and not s.valid.any()
+        assert s.masks.shape == (4, 8, 8)
+        good = ds.load(1)
+        assert good.ok
+
+
 class TestLoader:
     def test_wraparound_batches_static(self, dataset):
         loader = Loader(dataset, batch_size=2, num_workers=2)
