@@ -119,19 +119,39 @@ def bench_e2e():
                  data=DataConfig())
     dataset = DetectionDataset(project, image_size=model_cfg.image_size,
                                max_gt=model_cfg.max_gt_boxes)
-    # uint8 batches keep the in-line host->device transfer small; producer-
-    # thread device_put (Loader place=...) measured SLOWER on tunneled TPU
-    # links (serialises with step dispatch), so batches ship from the main
-    # thread here.  BENCH_E2E_PREFETCH=1 re-enables it for local chips.
-    place = jax.devices()[0] if os.environ.get("BENCH_E2E_PREFETCH") else None
-    loader = Loader(dataset, BATCH, shuffle=True, num_workers=4, prefetch=3,
-                    place=place)
+    # Same loader selection as train(): device-resident dataset when it
+    # fits HBM (no per-step image upload), else the streaming Loader.
+    # BENCH_E2E_STREAM=1 forces the streaming path for comparison.
+    from podtpu.data import device_cache as dcache
+
+    use_device_cache = (not os.environ.get("BENCH_E2E_STREAM")
+                        and dcache.fits(dataset))
+    if use_device_cache:
+        cache = dcache.DeviceDataCache(dataset, device=jax.devices()[0])
+        loader = dcache.DeviceLoader(cache, BATCH, shuffle=True, raw=True)
+    else:
+        place = jax.devices()[0] if os.environ.get("BENCH_E2E_PREFETCH") \
+            else None
+        loader = Loader(dataset, BATCH, shuffle=True, num_workers=4,
+                        prefetch=3, place=place)
 
     model = FasterRCNN(cfg=model_cfg)
     variables = init_variables(model, jax.random.key(0))
     tx = make_optimizer(cfg.train, cfg.model)
     state = create_train_state(variables, tx)
     step = make_train_step(model, tx, cfg)
+    if use_device_cache:
+        cached_step = dcache.make_cached_train_step(step)
+
+    def run_step(state, payload, bvalid, it):
+        if use_device_cache:
+            return cached_step(state, cache.arrays, payload.astype(np.int32),
+                               bvalid.astype(np.float32),
+                               jax.random.fold_in(key, it), lr)
+        batch = dict(payload)
+        batch["image_weight"] = bvalid.astype(np.float32)
+        return step(state, batch, jax.random.fold_in(key, it), lr)
+
     key = jax.random.key(1)
     lr = np.float32(0.005)
 
@@ -139,9 +159,8 @@ def bench_e2e():
     # epoch so the timed phase measures steady state, which is what every
     # epoch after the first looks like in real training).
     metrics = None
-    for it, (batch, bvalid) in enumerate(loader):
-        batch["image_weight"] = bvalid.astype(np.float32)
-        state, metrics = step(state, batch, jax.random.fold_in(key, it), lr)
+    for it, (payload, bvalid) in enumerate(loader):
+        state, metrics = run_step(state, payload, bvalid, it)
     _ = float(metrics["loss"])
 
     # Timed epochs: wall time + loader-wait split.
@@ -155,13 +174,11 @@ def bench_e2e():
         while True:
             t0 = time.perf_counter()
             try:
-                batch, bvalid = next(it)
+                payload, bvalid = next(it)
             except StopIteration:
                 break
             wait += time.perf_counter() - t0
-            batch["image_weight"] = bvalid.astype(np.float32)
-            state, metrics = step(state, batch,
-                                  jax.random.fold_in(key, 100 + n), lr)
+            state, metrics = run_step(state, payload, bvalid, 100 + n)
             n += BATCH
     _ = float(metrics["loss"])  # drain the device pipeline
     total = time.perf_counter() - t_start

@@ -207,6 +207,12 @@ class DataConfig:
     # reusable).  "auto" enables it when the dataset fits the budget
     # (default 2 GiB, override with $PODTPU_CACHE_BYTES); True/False force.
     decode_cache: object = "auto"
+    # Device-resident training data (podtpu/data/device_cache.py): pin all
+    # canvases in HBM once and gather batches on device — the per-step
+    # host->device image upload disappears (it is the whole loader gap on
+    # tunneled chips).  "auto" enables it for single-device training when
+    # the dataset fits $PODTPU_DEVICE_CACHE_BYTES (default 2 GiB).
+    device_data_cache: object = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,168 @@
+"""Device-resident dataset: pin canvases in HBM, gather batches on device.
+
+The reference streams every batch host->GPU through DataLoader workers each
+step (`miso/object_detection/training.py:64-83`).  On TPU — especially with
+a remote/tunneled chip — the per-step host->device image transfer is the
+whole gap between loader-included and synthetic-step throughput once decode
+is cached (measured: 12.6 MB/step in-line upload held e2e at ~26 img/s vs
+41 img/s synthetic).  miso-scale datasets are small (tens to hundreds of
+annotated micrographs), so the TPU-native fix is to ship the WHOLE dataset
+to HBM once and assemble each batch with a device-side gather: the only
+per-step upload is the `[B]` index vector.
+
+A 1024x1024 uint8 canvas is 3 MB: 300 images pin under 1 GB of the chip's
+HBM.  `fits()` gates on a byte budget (default 2 GiB, override with
+$PODTPU_DEVICE_CACHE_BYTES) so large datasets fall back to the streaming
+loader automatically.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+DEFAULT_BUDGET = 2 << 30
+
+
+def dataset_device_bytes(n: int, image_size, max_gt: int,
+                         with_masks: bool = False,
+                         mask_stride: int = 8) -> int:
+    ch, cw = image_size
+    per = ch * cw * 3 + max_gt * (4 * 4 + 4 + 1) + 16
+    if with_masks:
+        per += max_gt * (ch // mask_stride) * (cw // mask_stride) * 4
+    return n * per
+
+
+def fits(dataset, budget: Optional[int] = None) -> bool:
+    budget = budget if budget is not None else \
+        int(os.environ.get("PODTPU_DEVICE_CACHE_BYTES", DEFAULT_BUDGET))
+    return dataset_device_bytes(
+        len(dataset), dataset.image_size, dataset.max_gt,
+        dataset.with_masks, dataset.mask_stride) <= budget
+
+
+class DeviceDataCache:
+    """All samples of a :class:`DetectionDataset`, stacked and committed to
+    one device.  ``batch(idx)`` returns the standard batch dict assembled by
+    an on-device gather (no host image traffic).
+
+    ``ok``: host-side bool array marking samples that decoded successfully;
+    the caller folds it into ``batch_valid`` like the streaming loader does.
+    """
+
+    def __init__(self, dataset, device=None, decode_batch: int = 16):
+        import jax
+
+        device = device if device is not None else jax.devices()[0]
+        n = len(dataset)
+        fields: Dict[str, list] = {}
+        ok = np.ones((n,), bool)
+        for start in range(0, n, decode_batch):
+            idx = list(range(start, min(start + decode_batch, n)))
+            for s in dataset.load_batch(idx):
+                ok[s.index] = s.ok
+                rec = {
+                    "image": s.image,
+                    "boxes": s.boxes,
+                    "labels": s.labels,
+                    "valid": s.valid,
+                    "scale": np.float32(s.scale),
+                    "original_size": np.asarray(s.original_size, np.int32),
+                    "index": np.int32(s.index),
+                }
+                if s.masks is not None:
+                    rec["masks"] = s.masks
+                for k, v in rec.items():
+                    fields.setdefault(k, [None] * n)[s.index] = v
+        self.ok = ok
+        self.n = n
+        # One device_put per field: the dataset crosses the link ONCE.
+        self.arrays = {
+            k: jax.device_put(np.stack(v), device)
+            for k, v in fields.items()
+        }
+
+    def batch(self, idx: np.ndarray) -> Dict:
+        """Batch dict for ``idx`` ([B] int array) — device-side gather."""
+        import jax.numpy as jnp
+
+        idx_dev = jnp.asarray(np.asarray(idx, np.int32))
+        return {k: v[idx_dev] for k, v in self.arrays.items()}
+
+
+def make_cached_train_step(train_step):
+    """Fold the batch gather INTO the jitted step: one dispatch per step
+    (index vector + scalars are the only host->device traffic).  ``arrays``
+    is passed as an argument, NOT closed over — closure arrays would be
+    baked into the program as literals."""
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, arrays, idx, image_weight, rng, lr):
+        batch = {k: v[idx] for k, v in arrays.items()}
+        batch["image_weight"] = image_weight
+        return train_step(state, batch, rng, lr)
+
+    return step
+
+
+class DeviceLoader:
+    """Drop-in for :class:`podtpu.data.loader.Loader` backed by a
+    :class:`DeviceDataCache`: same ``(batch, batch_valid)`` iteration,
+    ``set_epoch`` shuffling, and wrap-around static shapes — but batches
+    are device-side gathers."""
+
+    def __init__(self, cache: DeviceDataCache, batch_size: int,
+                 indices: Optional[np.ndarray] = None, shuffle: bool = False,
+                 seed: int = 0, raw: bool = False):
+        """``raw``: yield ``(idx [B] int array, batch_valid)`` instead of
+        assembled batches — for :func:`make_cached_train_step`, which
+        gathers inside the jitted step."""
+        self.cache = cache
+        self.raw = raw
+        self.batch_size = batch_size
+        self.indices = np.asarray(
+            indices if indices is not None else np.arange(cache.n))
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        if len(self.indices) == 0:
+            return 0
+        return -(-len(self.indices) // self.batch_size)
+
+    def __iter__(self):
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        for idx, bvalid in epoch_batches(order, self.batch_size,
+                                         self.cache.ok):
+            yield (idx if self.raw else self.cache.batch(idx)), bvalid
+
+
+def epoch_batches(order: np.ndarray, batch_size: int, ok: np.ndarray):
+    """Yield ``(idx [B], batch_valid [B])`` pairs covering ``order`` with
+    static shapes: short tails wrap around (mask False), decode failures
+    mask False — the streaming Loader's contract."""
+    n = len(order)
+    num_batches = -(-n // batch_size)
+    for b in range(num_batches):
+        idx = order[b * batch_size: (b + 1) * batch_size]
+        valid = np.ones(len(idx), bool)
+        if len(idx) < batch_size:
+            extra = order[: batch_size - len(idx)]
+            if len(extra) < batch_size - len(idx):
+                extra = np.resize(order, batch_size - len(idx))
+            idx = np.concatenate([idx, extra])
+            valid = np.concatenate(
+                [valid, np.zeros(batch_size - len(valid), bool)])
+        yield idx, valid & ok[idx]

@@ -177,14 +177,35 @@ def train(project: Project,
         mesh = None
         train_place = jax.devices()[0]
 
-    # With device_prefetch, train batches are placed on device (or sharded
-    # over the mesh) by the loader's producer thread, overlapping
-    # host->device transfer with the previous step's compute; the eval
-    # loader stays host-side (evaluation indexes batch fields on the host).
-    loader_train = Loader(
-        dataset, global_batch, indices=train_idx, shuffle=True, seed=seed,
-        num_workers=num_workers,
-        place=train_place if cfg.data.device_prefetch else None)
+    # Device-resident training data: for miso-scale datasets on a single
+    # device, pin every canvas in HBM once and gather batches on device —
+    # no per-step host->device image upload (podtpu/data/device_cache.py).
+    # Falls back to the streaming Loader under DP or past the HBM budget.
+    from podtpu.data import device_cache as dcache
+
+    use_device_cache = (
+        not use_dp
+        and cfg.data.device_data_cache is not False
+        and (cfg.data.device_data_cache is True or dcache.fits(dataset)))
+    device_arrays = None
+    if use_device_cache:
+        cache = dcache.DeviceDataCache(dataset, device=jax.devices()[0])
+        device_arrays = cache.arrays
+        loader_train = dcache.DeviceLoader(
+            cache, global_batch, indices=train_idx, shuffle=True, seed=seed,
+            raw=True)
+        print("Training data pinned on device "
+              f"({dcache.dataset_device_bytes(len(dataset), cfg.model.image_size, cfg.model.max_gt_boxes, cfg.model.with_mask, cfg.model.mask_gt_stride) >> 20} MiB)")
+    else:
+        # With device_prefetch, train batches are placed on device (or
+        # sharded over the mesh) by the loader's producer thread,
+        # overlapping host->device transfer with the previous step's
+        # compute; the eval loader stays host-side (evaluation indexes
+        # batch fields on the host).
+        loader_train = Loader(
+            dataset, global_batch, indices=train_idx, shuffle=True,
+            seed=seed, num_workers=num_workers,
+            place=train_place if cfg.data.device_prefetch else None)
     loader_test = Loader(test_dataset, global_batch, indices=test_idx,
                          shuffle=False, num_workers=num_workers)
 
@@ -229,6 +250,10 @@ def train(project: Project,
     else:
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model)
+        if use_device_cache:
+            # One dispatch per step: the gather from the device-resident
+            # arrays happens inside the jitted step.
+            train_step = dcache.make_cached_train_step(train_step)
 
     # -- epoch loop (reference training.py:120-127) --------------------------
     print("=" * 80)
@@ -252,10 +277,18 @@ def train(project: Project,
                 jax.profiler.start_trace(trace_dir)
                 tracing = True
             lr = alrs.lr * warmup_factor(cfg, epoch, it, iters)
-            batch = dict(batch)
-            batch["image_weight"] = bvalid.astype(np.float32)
-            state, metrics = train_step(state, batch, step_rngs[it],
-                                        np.float32(lr))
+            if use_device_cache:
+                # `batch` is the raw [B] index vector; the step gathers
+                # from the device-resident arrays internally.
+                state, metrics = train_step(
+                    state, device_arrays, batch.astype(np.int32),
+                    bvalid.astype(np.float32), step_rngs[it],
+                    np.float32(lr))
+            else:
+                batch = dict(batch)
+                batch["image_weight"] = bvalid.astype(np.float32)
+                state, metrics = train_step(state, batch, step_rngs[it],
+                                            np.float32(lr))
             # Accumulate the loss on device (tiny async adds): ALRS sees the
             # TRUE epoch mean over every step, and the epoch costs a single
             # host sync instead of one per log_every (reference averages

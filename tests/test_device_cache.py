@@ -1,0 +1,101 @@
+"""Device-resident dataset cache: parity with the streaming Loader."""
+import numpy as np
+import pytest
+
+from podtpu.data import device_cache as dcache
+from podtpu.data.dataset import DetectionDataset
+from podtpu.data.loader import Loader
+from tests.synthetic import make_project
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devcache_imgs")
+    project = make_project(str(root), num_images=5)
+    return DetectionDataset(project, image_size=(64, 64), max_gt=4)
+
+
+class TestDeviceDataCache:
+    def test_fields_match_samples(self, dataset):
+        cache = dcache.DeviceDataCache(dataset)
+        assert cache.n == 5
+        assert cache.ok.all()
+        for i in range(5):
+            s = dataset.load(i)
+            np.testing.assert_array_equal(
+                np.asarray(cache.arrays["image"][i]), s.image)
+            np.testing.assert_array_equal(
+                np.asarray(cache.arrays["boxes"][i]), s.boxes)
+            assert int(cache.arrays["index"][i]) == i
+
+    def test_batch_gather(self, dataset):
+        cache = dcache.DeviceDataCache(dataset)
+        batch = cache.batch(np.asarray([3, 1]))
+        assert batch["image"].shape == (2, 64, 64, 3)
+        np.testing.assert_array_equal(np.asarray(batch["index"]), [3, 1])
+
+    def test_loader_parity(self, dataset):
+        """DeviceLoader yields the same batches/masks as the streaming
+        Loader for the same order (the train step sees identical data)."""
+        cache = dcache.DeviceDataCache(dataset)
+        dl = dcache.DeviceLoader(cache, 2, shuffle=False)
+        sl = Loader(dataset, 2, shuffle=False, num_workers=1)
+        dev_batches = list(dl)
+        str_batches = list(sl)
+        assert len(dev_batches) == len(str_batches) == 3
+        for (db, dv), (sb, sv) in zip(dev_batches, str_batches):
+            np.testing.assert_array_equal(dv, sv)
+            for k in sb:
+                np.testing.assert_array_equal(
+                    np.asarray(db[k]), np.asarray(sb[k]),
+                    err_msg=f"field {k}")
+
+    def test_shuffle_epochs_differ(self, dataset):
+        cache = dcache.DeviceDataCache(dataset)
+        dl = dcache.DeviceLoader(cache, 2, shuffle=True, seed=0)
+        dl.set_epoch(0)
+        e0 = [np.asarray(b["index"]) for b, _ in dl]
+        dl.set_epoch(1)
+        e1 = [np.asarray(b["index"]) for b, _ in dl]
+        assert not all(np.array_equal(a, b) for a, b in zip(e0, e1))
+
+    def test_fits_budget(self, dataset):
+        assert dcache.fits(dataset)  # 5 tiny canvases
+        assert dcache.dataset_device_bytes(
+            5, (64, 64), 4) > 5 * 64 * 64 * 3 - 1
+        import os
+        os.environ["PODTPU_DEVICE_CACHE_BYTES"] = "10"
+        try:
+            assert not dcache.fits(dataset)
+        finally:
+            del os.environ["PODTPU_DEVICE_CACHE_BYTES"]
+
+    def test_decode_failure_masked(self, tmp_path):
+        import os
+
+        project = make_project(str(tmp_path / "imgs"), num_images=3)
+        metas = list(project.image_dict.values())
+        os.remove(metas[1].full_path)
+        ds = DetectionDataset(project, image_size=(64, 64), max_gt=4)
+        cache = dcache.DeviceDataCache(ds)
+        assert list(cache.ok) == [True, False, True]
+        dl = dcache.DeviceLoader(cache, 3, shuffle=False)
+        (_, bvalid), = list(dl)
+        np.testing.assert_array_equal(bvalid, [True, False, True])
+
+
+class TestTrainWithDeviceCache:
+    def test_train_e2e(self, tmp_path):
+        import os
+
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project as mk
+
+        project = mk(str(tmp_path / "imgs"), num_images=4)
+        out = train(project, labels=["particle"],
+                    output_dir=str(tmp_path / "models"), name="dev",
+                    batch_size=2, max_epochs=1, alrs_epochs=2,
+                    alrs_startup_factor=1, config=tiny_config(),
+                    num_workers=2)
+        assert os.path.exists(os.path.join(out, "results.txt"))
