@@ -110,6 +110,32 @@ def make_cached_train_step(train_step):
     return step
 
 
+def make_cached_dp_train_step(dp_train_step, mesh, axis_name: str = "data"):
+    """DP variant: ``arrays`` is REPLICATED over the mesh, the global index
+    vector is SHARDED over the data axis, so each device gathers only its
+    own batch shard from its local replica — no collectives, no per-step
+    host image traffic (the DDP-era alternative ships every shard from the
+    host each step)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(axis_name))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def gather_step(state, arrays, idx, image_weight, rng, lr):
+        batch = {k: v[idx] for k, v in arrays.items()}
+        batch["image_weight"] = image_weight
+        return dp_train_step(state, batch, rng, lr)
+
+    def step(state, arrays, idx, image_weight, rng, lr):
+        idx = jax.device_put(np.asarray(idx, np.int32), shard)
+        image_weight = jax.device_put(
+            np.asarray(image_weight, np.float32), shard)
+        return gather_step(state, arrays, idx, image_weight, rng, lr)
+
+    return step
+
+
 class DeviceLoader:
     """Drop-in for :class:`podtpu.data.loader.Loader` backed by a
     :class:`DeviceDataCache`: same ``(batch, batch_valid)`` iteration,

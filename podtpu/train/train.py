@@ -184,12 +184,17 @@ def train(project: Project,
     from podtpu.data import device_cache as dcache
 
     use_device_cache = (
-        not use_dp
-        and cfg.data.device_data_cache is not False
+        cfg.data.device_data_cache is not False
         and (cfg.data.device_data_cache is True or dcache.fits(dataset)))
     device_arrays = None
     if use_device_cache:
-        cache = dcache.DeviceDataCache(dataset, device=jax.devices()[0])
+        if use_dp:
+            # Replicate the pinned dataset on every device: each shard
+            # gathers its own batch slice locally (no collectives).
+            place = NamedSharding(mesh, PartitionSpec())
+        else:
+            place = jax.devices()[0]
+        cache = dcache.DeviceDataCache(dataset, device=place)
         device_arrays = cache.arrays
         loader_train = dcache.DeviceLoader(
             cache, global_batch, indices=train_idx, shuffle=True, seed=seed,
@@ -247,6 +252,8 @@ def train(project: Project,
         # needs them REPLICATED on the mesh (a single-device commitment
         # conflicts with the mesh-sharded batch under jit).
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        if use_device_cache:
+            train_step = dcache.make_cached_dp_train_step(train_step, mesh)
     else:
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model)

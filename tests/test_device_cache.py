@@ -84,6 +84,69 @@ class TestDeviceDataCache:
         np.testing.assert_array_equal(bvalid, [True, False, True])
 
 
+class TestDPCachedStep:
+    def test_matches_streamed_dp_step(self):
+        """The DP cached step (replicated arrays + sharded index gather)
+        produces the same loss/params as the streamed DP step on the same
+        batch."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.parallel.dp import make_dp_train_step, make_mesh
+        from podtpu.train.optim import make_optimizer
+        from podtpu.train.step import create_train_state
+        from tests.test_parallel import make_batch, micro_cfg
+
+        cfg = micro_cfg()
+        model = FasterRCNN(cfg=cfg.model)
+        init_vars = model.init(jax.random.key(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = make_optimizer(cfg.train, cfg.model)
+        mesh = make_mesh(jax.devices()[:4])
+        dp_step, shard_batch = make_dp_train_step(model, tx, cfg, mesh)
+        batch = make_batch(batch=8, seed=3)
+        w = np.ones(8, np.float32)
+        rng = jax.random.key(5)
+        lr = np.float32(0.01)
+
+        def fresh_state():
+            variables = jax.tree.map(jnp.array, init_vars)
+            st = create_train_state(variables, tx)
+            return jax.device_put(st, NamedSharding(mesh, P()))
+
+        streamed = dict(batch)
+        streamed["image_weight"] = w
+        _, m1 = dp_step(fresh_state(), shard_batch(streamed), rng, lr)
+
+        arrays = {k: jax.device_put(v, NamedSharding(mesh, P()))
+                  for k, v in batch.items()}
+        cached = dcache.make_cached_dp_train_step(dp_step, mesh)
+        _, m2 = cached(fresh_state(), arrays, np.arange(8), w, rng, lr)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+
+    def test_train_dp_with_device_cache(self, tmp_path):
+        import dataclasses
+        import os
+
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project as mk
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_data_cache=True))
+        project = mk(str(tmp_path / "imgs"), num_images=8)
+        out = train(project, labels=["particle"],
+                    output_dir=str(tmp_path / "models"), name="dpdev",
+                    batch_size=2, max_epochs=1, alrs_epochs=2,
+                    alrs_startup_factor=1, config=cfg, num_workers=2,
+                    num_devices=2)
+        assert os.path.exists(os.path.join(out, "results.txt"))
+
+
 class TestTrainWithDeviceCache:
     def test_train_e2e(self, tmp_path):
         import os
