@@ -272,11 +272,18 @@ def infer_object_detector_directory(input_dir, output_dir, model_dir, model,
               help="Detection threshold")
 @click.option("--overlap", type=float, default=0.25, show_default=True,
               help="Tile overlap fraction")
-@click.option("--batch-size", type=int, default=4, show_default=True)
+@click.option("--batch-size", type=int, default=8, show_default=True)
+@click.option("--tile-size", type=int, default=None,
+              help="Override the tile canvas (defaults to the model's "
+                   "training canvas; params are canvas-independent)")
+@click.option("--spatial-devices", type=int, default=1, show_default=True,
+              help="Shard each tile's height over N devices so giant tiles "
+                   "exceed one chip's memory (podtpu/parallel/spatial.py)")
 @click.option("-o", "--output", type=str, default=None,
               help="Write detections as JSON to this path")
 def infer_object_detector_tiled(input_path, model_dir, model, threshold,
-                                overlap, batch_size, output):
+                                overlap, batch_size, tile_size,
+                                spatial_devices, output):
     """Sliding-window scan inference with cross-tile NMS (new capability)."""
     import json
 
@@ -286,7 +293,8 @@ def infer_object_detector_tiled(input_path, model_dir, model, threshold,
     model_path = os.path.join(model_dir, model)
     labels = read_labels(os.path.join(model_dir, model, "labels.txt"))
     dets = infer_tiled(input_path, model_path, threshold=threshold,
-                       overlap=overlap, batch_size=batch_size)
+                       overlap=overlap, batch_size=batch_size,
+                       tile_size=tile_size, spatial_devices=spatial_devices)
     rows = [{"box": d.box, "score": d.score,
              "label": labels[d.label - 1]} for d in dets]
     text = json.dumps(rows, indent=2)

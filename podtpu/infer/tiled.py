@@ -97,15 +97,38 @@ def infer_tiled(
     overlap: float = 0.25,
     batch_size: int = 8,
     nms_threshold: float = 0.5,
+    tile_size: int = None,
+    spatial_devices: int = 1,
 ) -> List[TiledDetection]:
     """Detect objects in an arbitrarily large scan image.
 
     ``image``: path or ``[H, W, 3]`` uint8/float array.
+
+    ``tile_size``: override the tile canvas (the detector's parameters are
+    canvas-independent — anchors regenerate for the new size).  Combined
+    with ``spatial_devices=N``, each giant tile's height is sharded over N
+    devices (`podtpu/parallel/spatial.py`), so a tile can exceed one
+    chip's activation memory — e.g. 4096² windows on an 8-chip mesh.
     """
     from pathlib import Path
     model_dir = str(Path(model_path).parent) if Path(model_path).suffix \
         else str(model_path)
     eval_step, params, frozen, cfg, _labels = load_inference_model(model_dir)
+    if tile_size is not None and (tile_size, tile_size) != cfg.image_size:
+        import dataclasses
+
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.train.step import make_eval_step
+        cfg = dataclasses.replace(cfg, image_size=(tile_size, tile_size))
+        eval_step = make_eval_step(FasterRCNN(cfg=cfg))
+    if spatial_devices > 1:
+        import jax
+
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.parallel.spatial import (make_spatial_eval_step,
+                                             spatial_mesh)
+        mesh = spatial_mesh(jax.devices()[:spatial_devices])
+        eval_step = make_spatial_eval_step(FasterRCNN(cfg=cfg), mesh)
     th, tw = cfg.image_size
     assert th == tw, "tiled inference assumes a square canvas"
     tile = th

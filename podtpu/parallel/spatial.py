@@ -1,0 +1,63 @@
+"""Spatial partitioning: one huge canvas sharded across the mesh.
+
+The reference has no model-parallel axis at all (SURVEY.md §2.3: DP only,
+via DDP) and handles big micrographs by whole-image resize.  podtpu already
+adds tiled scan inference; this module adds the orthogonal TPU-native axis:
+shard a SINGLE canvas's height across devices and let XLA GSPMD partition
+the backbone/FPN convs (it inserts the halo exchanges for 3x3/7x7 windows
+automatically, riding ICI).  That lets one tile be larger than a single
+chip's activation memory — e.g. a 4096² scan window on a v5e-8 — without
+changing any model code.
+
+Detection heads (top-k, NMS, RoIAlign) operate on global, dynamic-ish
+structures and the Pallas kernels are opaque to the partitioner; XLA
+resolves them by gathering — fine, because at giant canvases ~all FLOPs
+and activation bytes are in the spatially-sharded backbone+FPN.
+
+Usage:
+    mesh = spatial_mesh(jax.devices())
+    step = make_spatial_eval_step(model, mesh)
+    det = step(params, frozen, images)   # images [B, H, W, 3], H % n == 0
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from podtpu.models.detector import FasterRCNN
+
+
+def spatial_mesh(devices: Optional[Sequence] = None,
+                 axis_name: str = "sp") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_spatial_eval_step(model: FasterRCNN, mesh: Mesh,
+                           axis_name: str = "sp"):
+    """Inference step with the input canvas sharded over its HEIGHT.
+
+    Weights are replicated; the image batch is sharded ``[B, H/n, W, 3]``
+    per device.  GSPMD propagates the spatial sharding through the conv
+    stack (halo exchange on ICI) and gathers where the detection heads need
+    global views.  Outputs are replicated ``Detections``.
+
+    The canvas height must be divisible by the mesh size times the coarsest
+    stride (e.g. 64 per device for the P6 level) so every level's rows
+    split evenly.
+    """
+    img_sharding = NamedSharding(mesh, P(None, axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def fn(params, frozen, images):
+        images = jax.lax.with_sharding_constraint(images, img_sharding)
+        from podtpu.train.step import images_to_float
+        return model.apply({"params": params, "frozen": frozen},
+                           images_to_float(images), train=False)
+
+    return jax.jit(fn,
+                   in_shardings=(repl, repl, img_sharding),
+                   out_shardings=repl)
