@@ -8,7 +8,11 @@ MetricLogger's iteration timing).  Here:
 * :func:`annotate`: named trace spans (`jax.profiler.TraceAnnotation`) for
   host-side phases;
 * :class:`StepTimer`: wall-clock percentile tracking for steady-state step
-  latency (p50/p90), used for the tiles/sec style reporting.
+  latency (p50/p90), used for the tiles/sec style reporting;
+* :func:`slope_time`: remote-link-safe micro-benchmark timing (run N_small
+  vs N_large iterations, divide the difference — cancels the per-call RPC
+  latency of tunneled TPU setups, where ``block_until_ready`` does not
+  actually block).  The single implementation behind every tools/ script.
 """
 from __future__ import annotations
 
@@ -18,6 +22,29 @@ import time
 from typing import List, Optional
 
 import jax
+
+
+def slope_time(fn, iters=(2, 12), reps=2) -> float:
+    """Seconds per iteration of ``fn`` by the slope method.
+
+    ``fn(i)`` is called with the iteration index and must return something
+    fetchable (a jax array / pytree); the result is fetched to the host
+    once per run to force execution.  Timing = min over ``reps`` of
+    ``(t[iters[1]] - t[iters[0]]) / (iters[1] - iters[0])``, which cancels
+    both dispatch and link round-trip latency.
+    """
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = fn(i)
+        jax.tree.leaves(jax.device_get(out))  # force
+        return time.perf_counter() - t0
+
+    run(1)  # compile
+    t_short = min(run(iters[0]) for _ in range(reps))
+    t_long = min(run(iters[1]) for _ in range(reps))
+    return max((t_long - t_short) / (iters[1] - iters[0]), 1e-9)
 
 
 @contextlib.contextmanager

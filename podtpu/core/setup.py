@@ -20,13 +20,25 @@ def enable_compilation_cache(cache_dir: str = None) -> str:
     """
     if os.environ.get("PODTPU_NO_COMPILE_CACHE"):
         return ""
-    import jax
+    import sys
 
     cache_dir = (cache_dir
                  or os.environ.get("PODTPU_COMPILE_CACHE")
                  or os.path.join(os.path.expanduser("~"), ".cache",
                                  "podtpu", "xla"))
     os.makedirs(cache_dir, exist_ok=True)
+    if "jax" not in sys.modules:
+        # jax reads these at first import: configuring via env keeps jax
+        # (multi-second import + backend plugin registration) OFF the CLI
+        # startup path — `podtpu --help` stays instant.
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                              "0")
+        return cache_dir
+    import jax
+
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache every program (default only caches slow-to-compile ones).
     try:

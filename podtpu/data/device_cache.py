@@ -178,17 +178,10 @@ class DeviceLoader:
 def epoch_batches(order: np.ndarray, batch_size: int, ok: np.ndarray):
     """Yield ``(idx [B], batch_valid [B])`` pairs covering ``order`` with
     static shapes: short tails wrap around (mask False), decode failures
-    mask False — the streaming Loader's contract."""
-    n = len(order)
-    num_batches = -(-n // batch_size)
+    mask False — exactly the streaming Loader's contract (shared helper)."""
+    from podtpu.data.loader import wrap_batch_indices
+
+    num_batches = -(-len(order) // batch_size)
     for b in range(num_batches):
-        idx = order[b * batch_size: (b + 1) * batch_size]
-        valid = np.ones(len(idx), bool)
-        if len(idx) < batch_size:
-            extra = order[: batch_size - len(idx)]
-            if len(extra) < batch_size - len(idx):
-                extra = np.resize(order, batch_size - len(idx))
-            idx = np.concatenate([idx, extra])
-            valid = np.concatenate(
-                [valid, np.zeros(batch_size - len(valid), bool)])
+        idx, valid = wrap_batch_indices(order, batch_size, b)
         yield idx, valid & ok[idx]

@@ -26,6 +26,23 @@ import numpy as np
 from podtpu.data.dataset import DetectionDataset, collate
 
 
+def wrap_batch_indices(order: np.ndarray, batch_size: int, b: int):
+    """Indices + validity for batch ``b`` of ``order`` with STATIC shapes:
+    a short tail wraps around to the front of the epoch and the wrapped
+    duplicates are masked False.  Shared by the streaming Loader and the
+    device-resident DeviceLoader so their batch contract cannot diverge."""
+    idx = order[b * batch_size: (b + 1) * batch_size]
+    valid = np.ones(len(idx), bool)
+    if len(idx) < batch_size:
+        extra = order[: batch_size - len(idx)]
+        if len(extra) < batch_size - len(idx):  # dataset smaller than batch
+            extra = np.resize(order, batch_size - len(idx))
+        idx = np.concatenate([idx, extra])
+        valid = np.concatenate([valid, np.zeros(batch_size - len(valid),
+                                                bool)])
+    return idx, valid
+
+
 class Loader:
     def __init__(
         self,
@@ -79,16 +96,7 @@ class Loader:
         num_batches = len(self)
 
         def batch_indices(b):
-            idx = order[b * bs: (b + 1) * bs]
-            valid = np.ones(len(idx), bool)
-            if len(idx) < bs:  # wrap around to keep shapes static
-                extra = order[: bs - len(idx)]
-                if len(extra) < bs - len(idx):  # dataset smaller than batch
-                    extra = np.resize(order, bs - len(idx))
-                idx = np.concatenate([idx, extra])
-                valid = np.concatenate(
-                    [valid, np.zeros(bs - len(valid), bool)])
-            return idx, valid
+            return wrap_batch_indices(order, bs, b)
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

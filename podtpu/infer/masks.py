@@ -104,6 +104,7 @@ def _trace_boundary(grid: np.ndarray, start: tuple) -> np.ndarray:
     # previous (off) pixel is to the west.
     prev_dir = 0
     cur = start
+    first_move = None  # direction of the very first step out of `start`
     for _ in range(4 * h * w):  # hard bound
         found = False
         # Search clockwise starting just after the backtrack direction.
@@ -111,17 +112,27 @@ def _trace_boundary(grid: np.ndarray, start: tuple) -> np.ndarray:
             d = (prev_dir + k) % 8
             cand = (cur[0] + _NEIGHBOURS[d][0], cur[1] + _NEIGHBOURS[d][1])
             if on(cand):
-                # Resume the clockwise search just after the off-pixel we
-                # came from (Moore tracing: back up one step).
-                prev_dir = (d + 5) % 8
-                cur = cand
                 found = True
                 break
         if not found:  # isolated pixel
             break
-        if cur == start and len(contour) > 1:
+        # Jacob's stopping criterion: the walk is closed when, standing on
+        # the start pixel again, the next move repeats the initial move.
+        # A plain `cur == start` test truncates components whose boundary
+        # passes through the start pixel more than once (two lobes joined
+        # diagonally at the start).
+        if cur == start and first_move is not None and d == first_move:
             break
+        if cur == start and first_move is None:
+            first_move = d
+        # Resume the clockwise search just after the off-pixel we came
+        # from (Moore tracing: back up one step).
+        prev_dir = (d + 5) % 8
+        cur = cand
         contour.append(cur)
+    # The closed walk re-appends `start` on its final re-entry.
+    if len(contour) > 1 and contour[-1] == contour[0]:
+        contour.pop()
     return np.array([(x, y) for y, x in contour], np.float32)
 
 

@@ -139,7 +139,13 @@ def infer_tiled(
             arr = np.asarray(im.convert("RGB"))
     else:
         arr = np.asarray(image)
-        if arr.dtype not in (np.uint8, np.float32):
+        if arr.dtype != np.uint8 and np.issubdtype(arr.dtype, np.integer):
+            # Normalise non-uint8 integer inputs (e.g. uint16 TIFF
+            # micrographs) by their dtype range — the device normaliser
+            # only rescales uint8.
+            arr = (arr.astype(np.float32)
+                   / float(np.iinfo(arr.dtype).max))
+        elif arr.dtype != np.uint8:
             arr = arr.astype(np.float32)
     # uint8 tiles ship as-is (4x less transfer); the eval step normalises
     # on device.  Float inputs are assumed already in [0, 1].

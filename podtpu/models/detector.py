@@ -44,13 +44,13 @@ class FasterRCNN(nn.Module):
             # Single-feature-map family (reference
             # `miso/instance_segmentation/training.py:7-36`): no FPN, the
             # RPN/RoI heads ride the one stride-32 1280-channel map.
-            from podtpu.models.mobilenet import MobileNetV2
+            from podtpu.models.mobilenet import OUT_CHANNELS, MobileNetV2
 
             self.backbone = MobileNetV2(
                 dtype=dtype, trainable_stages=cfg.trainable_backbone_stages,
                 name="backbone")
             self.fpn = None
-            rpn_channels = 1280
+            rpn_channels = OUT_CHANNELS
         elif cfg.backbone == "resnet50_fpn":
             self.backbone = ResNet(
                 stage_sizes=(3, 4, 6, 3), dtype=dtype,

@@ -94,8 +94,14 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
             if i == me:
                 continue
             evaluator.merge_from(ev)
-            if segm_eval is not None and sg is not None:
-                segm_eval.merge_from(sg)
+            if sg is not None:
+                # A process whose shard had no mask batches carries
+                # segm_eval=None: adopt the first peer's so every process
+                # reports identical segm stats.
+                if segm_eval is None:
+                    segm_eval = sg
+                else:
+                    segm_eval.merge_from(sg)
     stats = evaluator.summarize()
     evaluator.segm = segm_eval
     evaluator.segm_stats = segm_eval.summarize() if segm_eval else None

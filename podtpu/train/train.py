@@ -211,6 +211,12 @@ def train(project: Project,
             dataset, global_batch, indices=train_idx, shuffle=True,
             seed=seed, num_workers=num_workers,
             place=train_place if cfg.data.device_prefetch else None)
+    # Multi-host: each process evaluates a DISJOINT slice of the test set;
+    # evaluate() merges match results across processes (duplicating the
+    # full set on every process would double-count every image in the
+    # merged COCO stats).
+    if jax.process_count() > 1:
+        test_idx = test_idx[jax.process_index()::jax.process_count()]
     loader_test = Loader(test_dataset, global_batch, indices=test_idx,
                          shuffle=False, num_workers=num_workers)
 
@@ -244,9 +250,10 @@ def train(project: Project,
             start_epoch = restored["epoch"] + 1
             print(f"Resumed from epoch {restored['epoch']}")
 
+    dp_shard_batch = None
     if use_dp:
         from podtpu.parallel.dp import make_dp_eval_step, make_dp_train_step
-        train_step, _ = make_dp_train_step(model, tx, cfg, mesh)
+        train_step, dp_shard_batch = make_dp_train_step(model, tx, cfg, mesh)
         eval_step = make_dp_eval_step(model, mesh)
         # init_variables commits params to a single device; the DP step
         # needs them REPLICATED on the mesh (a single-device commitment
@@ -294,6 +301,11 @@ def train(project: Project,
             else:
                 batch = dict(batch)
                 batch["image_weight"] = bvalid.astype(np.float32)
+                if dp_shard_batch is not None:
+                    # Explicitly place the global batch sharded over the
+                    # mesh (rather than trusting compiler-chosen input
+                    # shardings for host numpy arrays).
+                    batch = dp_shard_batch(batch)
                 state, metrics = train_step(state, batch, step_rngs[it],
                                             np.float32(lr))
             # Accumulate the loss on device (tiny async adds): ALRS sees the

@@ -222,6 +222,24 @@ class TestTiled:
             assert 0 <= y1 <= y2 <= scan.shape[0]
             assert d.label == 1
 
+    def test_infer_tiled_uint16_matches_uint8(self, synthetic_root,
+                                              trained_model):
+        """uint16 TIFF-style input is range-normalised, not fed raw: a
+        uint16 scan (uint8 * 257, the exact 8->16 bit expansion) must
+        produce the same detections as its uint8 original."""
+        imgs = sorted((synthetic_root / "images").glob("*.jpg"))[:2]
+        tiles = [np.asarray(Image.open(p)) for p in imgs]
+        scan8 = np.concatenate(tiles, axis=1)
+        scan16 = scan8.astype(np.uint16) * 257  # 255 -> 65535 exactly
+        dets8 = infer_tiled(scan8, trained_model, threshold=0.05,
+                            batch_size=4)
+        dets16 = infer_tiled(scan16, trained_model, threshold=0.05,
+                             batch_size=4)
+        assert len(dets8) == len(dets16) > 0
+        for a, b in zip(dets8, dets16):
+            assert np.allclose(a.box, b.box, atol=1e-3)
+            assert a.label == b.label
+
 
 class TestCvatXml:
     def test_roundtrip(self, tmp_path):

@@ -32,6 +32,29 @@ class TestTrainDP:
         assert os.path.exists(os.path.join(out, "labels.txt"))
         assert os.path.exists(os.path.join(out, "results.txt"))
 
+    def test_train_dp_streaming_loader(self, synthetic_root, tmp_path):
+        """DP with the device cache forced OFF: the streaming Loader path
+        must explicitly shard each host batch over the mesh
+        (``dp_shard_batch`` in train.py) rather than relying on
+        compiler-chosen input shardings."""
+        import dataclasses
+
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_data_cache=False))
+        project = make_project(str(synthetic_root / "images"), num_images=10)
+        out = train(
+            project, labels=["particle"], output_dir=str(tmp_path),
+            name="dp2s", batch_size=2, max_epochs=1, alrs_epochs=2,
+            alrs_startup_factor=1, config=cfg, num_workers=2,
+            seed=0, num_devices=2,
+        )
+        assert os.path.exists(os.path.join(out, "model.msgpack"))
+        assert os.path.exists(os.path.join(out, "results.txt"))
+
 
 class TestBatchValidMasking:
     def test_duplicate_images_contribute_no_gradient(self):

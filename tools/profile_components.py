@@ -9,7 +9,6 @@ Run:  PYTHONPATH=/root/repo:/root/.axon_site nohup python -u \
       tools/profile_components.py > /tmp/prof.log 2>&1 &
 """
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -20,26 +19,13 @@ from podtpu.models.detector import FasterRCNN, init_variables
 from podtpu.models.fpn import FPN
 from podtpu.models.resnet import ResNet
 from podtpu.train.optim import make_optimizer
+from podtpu.core.profiling import slope_time
 from podtpu.train.step import create_train_state, make_eval_step, \
     make_train_step
 
 BATCH, CANVAS = 4, 1024
 
 
-def slope_time(fn, *args, iters=(2, 12), reps=2):
-    """Median-of-reps slope timing; fn must return something fetchable."""
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n):
-            out = fn(i, *args)
-        jax.tree.leaves(jax.device_get(out))  # force
-        return time.perf_counter() - t0
-
-    run(1)  # compile
-    t_short = min(run(iters[0]) for _ in range(reps))
-    t_long = min(run(iters[1]) for _ in range(reps))
-    return max((t_long - t_short) / (iters[1] - iters[0]), 1e-9)
 
 
 def scalarize(tree):
@@ -79,7 +65,7 @@ def main():
         return scalarize(jax.grad(loss)(params))
 
     report("backbone_fwdbwd",
-           slope_time(lambda i, p: bb_fwdbwd(p, images), bparams))
+           slope_time(lambda i: bb_fwdbwd(bparams, images)))
 
     # ---- backbone + FPN, fwd+bwd ----
     fpn = FPN(out_channels=256, dtype=jnp.bfloat16)
@@ -96,8 +82,8 @@ def main():
         return scalarize(jax.grad(loss)((params, fparams)))
 
     report("backbone_fpn_fwdbwd",
-           slope_time(lambda i, p, f: bbfpn_fwdbwd(p, f, images),
-                      bparams, fvars["params"]))
+           slope_time(lambda i: bbfpn_fwdbwd(bparams, fvars["params"],
+                                           images)))
 
     # ---- stem conv alone (C=3 7x7s2: the classic low-MXU suspect) ----
     from flax import linen as nn
@@ -119,7 +105,7 @@ def main():
         return scalarize(jax.grad(loss)(params))
 
     report("stem_conv_fwdbwd",
-           slope_time(lambda i, p: stem_fwdbwd(p, images), svars["params"]))
+           slope_time(lambda i: stem_fwdbwd(svars["params"], images)))
 
     # ---- RoIAlign at operating shape (4 x 512 rois, P2..P5) ----
     from podtpu.models import roi_heads as rh
@@ -141,7 +127,7 @@ def main():
         return scalarize(jax.grad(loss)(feats))
 
     report("roi_align_fwdbwd_4x512",
-           slope_time(lambda i, f: roi_fwdbwd(f, rois), pyr))
+           slope_time(lambda i: roi_fwdbwd(pyr, rois)))
 
     # ---- augmentation alone (miso policy incl. photometric) ----
     from podtpu.data.presets import augment_batch_policy, get_policy

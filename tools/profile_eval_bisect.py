@@ -3,7 +3,6 @@ the pallas-roi / approx-topk toggles.  One JSON line per variant.
 """
 import dataclasses
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -11,23 +10,11 @@ import numpy as np
 
 from podtpu.core.config import ModelConfig
 from podtpu.models.detector import FasterRCNN, init_variables
+from podtpu.core.profiling import slope_time
 
 BATCH, CANVAS = 4, 1024
 
 
-def slope_time(fn, iters=(2, 12), reps=2):
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n):
-            out = fn(i)
-        jax.tree.leaves(jax.device_get(out))
-        return time.perf_counter() - t0
-
-    run(1)
-    t_s = min(run(iters[0]) for _ in range(reps))
-    t_l = min(run(iters[1]) for _ in range(reps))
-    return max((t_l - t_s) / (iters[1] - iters[0]), 1e-9)
 
 
 def main():

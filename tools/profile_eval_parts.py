@@ -6,7 +6,6 @@ Run:  PYTHONPATH=/root/repo:/root/.axon_site nohup python -u \
 """
 import functools
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -17,23 +16,11 @@ from podtpu.models import roi_heads as rh
 from podtpu.models import rpn as rpn_lib
 from podtpu.ops.anchors import grid_anchors
 from podtpu.ops.nms import nms_keep
+from podtpu.core.profiling import slope_time
 
 BATCH, CANVAS = 4, 1024
 
 
-def slope_time(fn, iters=(2, 12), reps=2):
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n):
-            out = fn(i)
-        jax.tree.leaves(jax.device_get(out))
-        return time.perf_counter() - t0
-
-    run(1)
-    t_short = min(run(iters[0]) for _ in range(reps))
-    t_long = min(run(iters[1]) for _ in range(reps))
-    return max((t_long - t_short) / (iters[1] - iters[0]), 1e-9)
 
 
 def report(name, secs):

@@ -1,6 +1,5 @@
 """Quick re-measure of eval forward + train step after kernel changes."""
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -9,25 +8,13 @@ import numpy as np
 from podtpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
 from podtpu.models.detector import FasterRCNN, init_variables
 from podtpu.train.optim import make_optimizer
+from podtpu.core.profiling import slope_time
 from podtpu.train.step import create_train_state, make_eval_step, \
     make_train_step
 
 BATCH, CANVAS = 4, 1024
 
 
-def slope_time(fn, iters=(2, 12), reps=2):
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n):
-            out = fn(i)
-        jax.tree.leaves(jax.device_get(out))
-        return time.perf_counter() - t0
-
-    run(1)
-    t_s = min(run(iters[0]) for _ in range(reps))
-    t_l = min(run(iters[1]) for _ in range(reps))
-    return max((t_l - t_s) / (iters[1] - iters[0]), 1e-9)
 
 
 def main():

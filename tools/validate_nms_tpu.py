@@ -3,13 +3,13 @@ exactness vs the python oracle, and latency on random vs adversarial
 (chained / clustered) inputs at several sizes.
 """
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from podtpu.ops.pallas.nms_kernel import nms_fixpoint_pallas
+from podtpu.core.profiling import slope_time
 
 
 def nms_oracle(boxes, scores, thresh, valid=None):
@@ -38,19 +38,6 @@ def nms_oracle(boxes, scores, thresh, valid=None):
     return keep
 
 
-def slope_time(fn, iters=(2, 12), reps=2):
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        float(out.sum())
-        return time.perf_counter() - t0
-
-    run(1)
-    t_s = min(run(iters[0]) for _ in range(reps))
-    t_l = min(run(iters[1]) for _ in range(reps))
-    return max((t_l - t_s) / (iters[1] - iters[0]), 1e-9)
 
 
 def cases(n, rng):
@@ -80,7 +67,7 @@ def main():
             else:
                 exact = None
             ms = slope_time(
-                lambda jb=jb, n=n: nms_fixpoint_pallas(
+                lambda i, jb=jb, n=n: nms_fixpoint_pallas(
                     jb, jnp.ones(n, bool), 0.3)) * 1e3
             print(json.dumps({"n": n, "case": name, "ms": round(ms, 3),
                               "kept": int(keep.sum()), "exact": exact}),

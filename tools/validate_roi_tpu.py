@@ -4,7 +4,6 @@ off), and slope-timed fwd+bwd at the operating shapes.
 """
 import dataclasses
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -12,23 +11,11 @@ import numpy as np
 
 from podtpu.core.config import ModelConfig
 from podtpu.models import roi_heads as rh
+from podtpu.core.profiling import slope_time
 
 BATCH, CANVAS = 4, 1024
 
 
-def slope_time(fn, iters=(2, 12), reps=2):
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        jax.tree.leaves(jax.device_get(out))
-        return time.perf_counter() - t0
-
-    run(1)
-    t_s = min(run(iters[0]) for _ in range(reps))
-    t_l = min(run(iters[1]) for _ in range(reps))
-    return max((t_l - t_s) / (iters[1] - iters[0]), 1e-9)
 
 
 def main():
@@ -72,7 +59,7 @@ def main():
             return jnp.stack([jnp.sum(x.astype(jnp.float32) ** 2)
                               for x in g])
 
-        ms = slope_time(tree_norm) * 1e3
+        ms = slope_time(lambda i: tree_norm()) * 1e3
         print(json.dumps({"k": k, "pallas_fwdbwd_ms": round(ms, 2)}),
               flush=True)
 
