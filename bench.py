@@ -251,11 +251,13 @@ def main():
         _ = float(m["loss"])  # forces the dependency chain
         return time.perf_counter() - t0
 
-    # Slope timing cancels the fixed tunnel round-trip latency; min-of-3
-    # keeps one co-scheduled host hiccup from moving the recorded number.
-    t_short = min(run(2) for _ in range(3))
-    t_long = min(run(12) for _ in range(3))
-    per_step = max((t_long - t_short) / 10, 1e-9)
+    # Slope timing cancels the fixed tunnel round-trip latency; min-of-4
+    # with a longer slope window keeps one co-scheduled host hiccup from
+    # moving the recorded number (the step is ~0.1 s, so the extra reps
+    # cost ~3 s total).
+    t_short = min(run(2) for _ in range(4))
+    t_long = min(run(14) for _ in range(4))
+    per_step = max((t_long - t_short) / 12, 1e-9)
     img_per_sec = BATCH / per_step
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_b4_1024",
