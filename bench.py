@@ -61,18 +61,11 @@ def bench_tiles():
                         jnp.float32)
     params, frozen = variables["params"], variables["frozen"]
 
-    def run(iters):
-        t0 = time.perf_counter()
-        det = None
-        for _ in range(iters):
-            det = eval_step(params, frozen, tiles)
-        _ = float(det.scores.sum())
-        return time.perf_counter() - t0
+    from podtpu.core.profiling import slope_time
 
-    _ = run(1)  # compile
-    t_short = min(run(2) for _ in range(2))
-    t_long = min(run(12) for _ in range(2))
-    per_step = max((t_long - t_short) / 10, 1e-9)
+    per_step = slope_time(
+        lambda i: eval_step(params, frozen, tiles).scores, iters=(2, 12),
+        reps=2)
     tiles_per_sec = batch / per_step
     # Per-batch p50 latency (includes the ~30ms tunnel RPC on remote-TPU
     # setups; the throughput number above uses slope timing to cancel it).
@@ -229,6 +222,10 @@ def main():
         "scale": jnp.ones((BATCH,), jnp.float32),
         "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
         "index": jnp.arange(BATCH, dtype=jnp.int32),
+        # Production train() always sends per-image loss weights
+        # (wrap-around masking): include them so the measured
+        # program is the one training actually runs.
+        "image_weight": jnp.ones((BATCH,), jnp.float32),
     }
 
     key = jax.random.key(1)
@@ -241,23 +238,19 @@ def main():
                                         jax.random.fold_in(key, i), lr)
     _ = float(metrics["loss"])
 
-    def run(iters):
+    from podtpu.core.profiling import slope_time
+
+    def step_once(i):
         # The state threads through a holder (the step donates its input).
-        t0 = time.perf_counter()
-        m = None
-        for i in range(iters):
-            holder["state"], m = step(holder["state"], batch,
-                                      jax.random.fold_in(key, 100 + i), lr)
-        _ = float(m["loss"])  # forces the dependency chain
-        return time.perf_counter() - t0
+        holder["state"], m = step(holder["state"], batch,
+                                  jax.random.fold_in(key, 100 + i), lr)
+        return m["loss"]
 
     # Slope timing cancels the fixed tunnel round-trip latency; min-of-4
     # with a longer slope window keeps one co-scheduled host hiccup from
     # moving the recorded number (the step is ~0.1 s, so the extra reps
     # cost ~3 s total).
-    t_short = min(run(2) for _ in range(4))
-    t_long = min(run(14) for _ in range(4))
-    per_step = max((t_long - t_short) / 12, 1e-9)
+    per_step = slope_time(step_once, iters=(2, 14), reps=4)
     img_per_sec = BATCH / per_step
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_b4_1024",

@@ -21,6 +21,7 @@ import numpy as np
 from PIL import Image
 
 from podtpu.data.project import Project
+from podtpu.data.imageio import pil_to_rgb
 
 
 @dataclass
@@ -134,7 +135,7 @@ class DetectionDataset:
         meta = self.images[i]
         try:
             with Image.open(meta.full_path) as im:
-                arr = np.asarray(im.convert("RGB"))
+                arr = pil_to_rgb(im)
         except Exception:
             sample = self._failed(meta, i)
             if self._cache is not None:

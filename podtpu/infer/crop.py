@@ -17,6 +17,7 @@ import numpy as np
 from PIL import Image
 
 from podtpu.data.project import Project
+from podtpu.data.imageio import pil_to_rgb
 
 try:
     from tqdm import tqdm
@@ -36,7 +37,7 @@ def crop_objects(project: Project, output_dir: str,
         if not image.boxes:
             continue
         with Image.open(image.full_path) as im:
-            arr = np.asarray(im.convert("RGB"))
+            arr = pil_to_rgb(im)
         h, w = arr.shape[:2]
         src = Path(image.full_path)
         for box in image.boxes:

@@ -31,7 +31,7 @@ from podtpu.data.project import Project
 from podtpu.data.annotation import RectangleAnnotation
 from podtpu.models.detector import FasterRCNN
 from podtpu.train.checkpoints import load_model
-from podtpu.train.step import make_eval_step
+from podtpu.train.step import make_eval_step, split_eval_output
 
 IMAGE_SUFFIXES = {".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif"}
 
@@ -77,9 +77,9 @@ def _run_inference(project: Project, model_dir: str,
     out.task_names = dict(project.task_names)
     for batch, batch_valid in loader:
         result = eval_step(params, frozen, batch["image"])
-        has_masks = not hasattr(result, "boxes")
-        det = result if not has_masks else result[0]
-        dt_masks = np.asarray(result[1]) if has_masks else None
+        det, res_masks = split_eval_output(result)
+        has_masks = res_masks is not None
+        dt_masks = np.asarray(res_masks) if has_masks else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)

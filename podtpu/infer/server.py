@@ -31,6 +31,8 @@ from PIL import Image
 
 from podtpu.data.dataset import fit_resize
 from podtpu.infer.inference import load_inference_model
+from podtpu.data.imageio import pil_to_rgb
+from podtpu.train.step import split_eval_output
 
 
 class _Request:
@@ -65,15 +67,21 @@ class DetectionServer:
     # -- client side ---------------------------------------------------------
     def detect(self, image_bytes: bytes, threshold: float = 0.5) -> dict:
         with Image.open(io.BytesIO(image_bytes)) as im:
-            arr = np.asarray(im.convert("RGB"))
+            arr = pil_to_rgb(im)
         h, w = arr.shape[:2]
         resized, scale = fit_resize(arr, self.cfg.image_size)
         ch, cw = self.cfg.image_size
         canvas = np.zeros((ch, cw, 3), np.uint8)
         canvas[: resized.shape[0], : resized.shape[1]] = resized
         req = _Request(canvas, scale, (h, w), threshold)
+        if self._stop.is_set():
+            raise RuntimeError("server is shut down")
         self._q.put(req)
-        req.event.wait()
+        # Poll with a stop check: a request that races close() (enqueued
+        # after the drain) must not wait forever.
+        while not req.event.wait(timeout=1.0):
+            if self._stop.is_set() and not req.event.wait(timeout=5.0):
+                raise RuntimeError("server is shut down")
         if req.error:
             raise RuntimeError(req.error)
         return req.result
@@ -81,19 +89,38 @@ class DetectionServer:
     def close(self):
         self._stop.set()
         self._q.put(None)  # wake the worker
+        self._worker.join(timeout=30.0)
+        # Fail any request that raced the shutdown (enqueued after the
+        # sentinel): leaving its event unset would block that caller's
+        # ``detect()`` forever.
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = "server is shut down"
+                req.event.set()
 
     # -- batching worker -----------------------------------------------------
     def _run(self):
+        import time
+
         while not self._stop.is_set():
             first = self._q.get()
             if first is None:
                 continue
             batch = [first]
-            # Coalesce whatever arrives within the window, up to batch_size.
-            deadline = self.batch_timeout
+            # Coalesce whatever arrives within ONE shared window (absolute
+            # deadline — a per-get timeout would extend the first caller's
+            # wait by batch_timeout per straggler), up to batch_size.
+            t_end = time.monotonic() + self.batch_timeout
             while len(batch) < self.batch_size:
+                remaining = t_end - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    nxt = self._q.get(timeout=deadline)
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -113,9 +140,8 @@ class DetectionServer:
         for i, req in enumerate(batch):
             images[i] = req.canvas
         out = self.eval_step(self.params, self.frozen, images)
-        has_masks = not hasattr(out, "boxes")
-        det = out if not has_masks else out[0]
-        masks = np.asarray(out[1]) if has_masks else None
+        det, out_masks = split_eval_output(out)
+        masks = np.asarray(out_masks) if out_masks is not None else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)

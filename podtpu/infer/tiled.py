@@ -22,6 +22,8 @@ import numpy as np
 from PIL import Image
 
 from podtpu.infer.inference import load_inference_model
+from podtpu.data.imageio import pil_to_rgb
+from podtpu.train.step import split_eval_output
 
 
 @dataclass
@@ -136,7 +138,7 @@ def infer_tiled(
 
     if isinstance(image, str):
         with Image.open(image) as im:
-            arr = np.asarray(im.convert("RGB"))
+            arr = pil_to_rgb(im)
     else:
         arr = np.asarray(image)
         if arr.dtype != np.uint8 and np.issubdtype(arr.dtype, np.integer):
@@ -164,7 +166,7 @@ def infer_tiled(
             batch[bi, : sub.shape[0], : sub.shape[1]] = sub
             extents.append((sub.shape[0], sub.shape[1]))
         result = eval_step(params, frozen, batch)
-        det = result if hasattr(result, "boxes") else result[0]
+        det, _ = split_eval_output(result)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)

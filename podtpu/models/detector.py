@@ -79,6 +79,12 @@ class FasterRCNN(nn.Module):
 
     def _features(self, images):
         cfg = self.cfg
+        # uint8 canvases -> [0,1] float here, NEXT to the mean/std
+        # normalisation, so no entry point can forget it (loaders ship
+        # uint8 for 4x less host->device transfer; a caller feeding 0-255
+        # through the mean/std below would silently produce garbage).
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
         std = jnp.asarray(cfg.pixel_std, jnp.float32)
         x = (images - mean) / std

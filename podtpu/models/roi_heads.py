@@ -231,7 +231,27 @@ def pool_rois_batched(
 
     size = pool_size or cfg.roi_pool_size
     n_lvl = len(cfg.roi_strides)
-    if cfg.use_pallas_roi_align and _jax.default_backend() == "tpu":
+    use_pallas = cfg.use_pallas_roi_align and _jax.default_backend() == "tpu"
+    if use_pallas:
+        # The level-bump in assign_levels guarantees in-window sampling
+        # ONLY when the coarsest level itself fits the kernel's VMEM
+        # window (true at the production <=1024 canvas).  On bigger
+        # canvases (giant spatial tiles) a near-canvas box capped at the
+        # coarsest level would have its sample points clamped — silently
+        # different features from the XLA path — so fall back.
+        from podtpu.ops.pallas.roi_align_kernel import (DEFAULT_WIN,
+                                                        window_dims)
+        win_h, win_w = window_dims(DEFAULT_WIN)
+        ch, cw = pyramid[n_lvl - 1].shape[1:3]
+        if ch > win_h or cw > win_w:
+            import warnings
+            warnings.warn(
+                f"pool_rois_batched: coarsest level {ch}x{cw} exceeds the "
+                f"Pallas RoIAlign window {win_h}x{win_w}; using the XLA "
+                "path (near-canvas boxes would otherwise pool clamped "
+                "features).", RuntimeWarning, stacklevel=2)
+            use_pallas = False
+    if use_pallas:
         from podtpu.ops.pallas.roi_align_kernel import batched_roi_align_pallas
 
         return batched_roi_align_pallas(

@@ -126,9 +126,9 @@ def make_dp_eval_step(model: FasterRCNN, mesh: Mesh, axis_name: str = "data"):
     batch_spec = P(axis_name)
 
     def per_shard(params, frozen, images):
-        from podtpu.train.step import images_to_float
+        # uint8 -> float happens inside the model's _features.
         return model.apply({"params": params, "frozen": frozen},
-                           images_to_float(images), train=False)
+                           images, train=False)
 
     sharded = shard_map(
         per_shard, mesh=mesh,

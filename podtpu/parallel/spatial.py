@@ -54,9 +54,9 @@ def make_spatial_eval_step(model: FasterRCNN, mesh: Mesh,
 
     def fn(params, frozen, images):
         images = jax.lax.with_sharding_constraint(images, img_sharding)
-        from podtpu.train.step import images_to_float
+        # uint8 -> float happens inside the model's _features.
         return model.apply({"params": params, "frozen": frozen},
-                           images_to_float(images), train=False)
+                           images, train=False)
 
     return jax.jit(fn,
                    in_shardings=(repl, repl, img_sharding),

@@ -23,6 +23,7 @@ from podtpu.core.logging import MetricLogger, is_main_process
 from podtpu.models.classifier import CropClassifier
 from podtpu.shared.utils import now_as_str
 from podtpu.train.alrs import AdaptiveLearningRateScheduler
+from podtpu.data.imageio import pil_to_rgb
 
 IMAGE_SUFFIXES = {".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif"}
 
@@ -42,7 +43,7 @@ def scan_crop_folders(root: str) -> Tuple[List[str], List[int], List[str]]:
 
 def load_crop(path: str, size: int) -> np.ndarray:
     with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"))
+        arr = pil_to_rgb(im)
     try:
         import cv2
         arr = cv2.resize(arr, (size, size), interpolation=cv2.INTER_LINEAR)

@@ -17,6 +17,7 @@ import numpy as np
 
 from podtpu.core.logging import is_main_process
 from podtpu.train.coco_metrics import COCOEvaluator
+from podtpu.train.step import split_eval_output
 
 
 def evaluate(eval_step, params, frozen, loader, num_classes: int,
@@ -35,9 +36,8 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
     for batch, batch_valid in loader:
         t0 = time.time()
         out = eval_step(params, frozen, batch["image"])
-        # Mask models return (Detections, masks); box models the NamedTuple.
-        has_masks = not hasattr(out, "boxes")
-        det = out if not has_masks else out[0]
+        det, out_masks = split_eval_output(out)
+        has_masks = out_masks is not None
         det_np = {
             "boxes": np.asarray(det.boxes),
             "scores": np.asarray(det.scores),
@@ -46,7 +46,7 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
         }
         do_segm = has_masks and "masks" in batch
         if do_segm:
-            dt_masks = np.asarray(out[1])  # [B, D, M, M] probabilities
+            dt_masks = np.asarray(out_masks)  # [B, D, M, M] probabilities
             if segm_eval is None:
                 segm_eval = COCOEvaluator(num_classes=num_classes,
                                           iou_type="segm")

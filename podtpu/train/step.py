@@ -22,10 +22,27 @@ from podtpu.models.detector import FasterRCNN
 
 def images_to_float(images: jnp.ndarray) -> jnp.ndarray:
     """uint8 canvases -> [0,1] float on device (loaders ship uint8: 4x
-    less host->device transfer); float inputs pass through unchanged."""
+    less host->device transfer); float inputs pass through unchanged.
+
+    The model's ``_features`` applies the same guard, so eval paths may
+    feed uint8 directly; train steps still call this explicitly because
+    the photometric augmentation needs [0,1] floats BEFORE the model."""
     if images.dtype == jnp.uint8:
         return images.astype(jnp.float32) / 255.0
     return images
+
+
+def split_eval_output(out):
+    """``(Detections, masks | None)`` from an eval-step result.
+
+    Mask models return ``(Detections, masks)``; box models return the
+    ``Detections`` NamedTuple alone.  The single probe every consumer
+    (evaluate / infer / tiled / server) goes through, so a change to the
+    eval-step return shape has exactly one place to update."""
+    if hasattr(out, "boxes"):
+        return out, None
+    det, masks = out
+    return det, masks
 
 
 class TrainState(NamedTuple):
@@ -99,8 +116,10 @@ def make_eval_step(model: FasterRCNN):
     """Jitted inference step: (variables, images) -> Detections [+ masks]."""
 
     def step_fn(params, frozen, images):
+        # uint8 -> float happens inside the model's _features (next to
+        # mean/std), so raw uint8 canvases are valid input here.
         return model.apply({"params": params, "frozen": frozen},
-                           images_to_float(images), train=False)
+                           images, train=False)
 
     return jax.jit(step_fn)
 

@@ -185,6 +185,10 @@ def train(project: Project,
 
     use_device_cache = (
         cfg.data.device_data_cache is not False
+        # Multi-host: the mesh spans non-addressable devices, so a host
+        # cannot device_put its numpy arrays replicated across it — the
+        # streaming loader (per-host shards) is the multi-host path.
+        and jax.process_count() == 1
         and (cfg.data.device_data_cache is True or dcache.fits(dataset)))
     device_arrays = None
     if use_device_cache:

@@ -86,3 +86,27 @@ class TestDetectionServer:
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=60)
         assert err.value.code == 400
+
+
+class TestServerShutdown:
+    def test_close_is_prompt_and_detect_after_close_raises(
+            self, trained_model):
+        """close() must not abandon callers: a request racing shutdown
+        gets an error instead of blocking forever, and detect() after
+        close raises immediately."""
+        from podtpu.infer.server import DetectionServer, _Request
+
+        runner = DetectionServer(trained_model, batch_size=2,
+                                 batch_timeout_ms=5)
+        # Enqueue a request directly AFTER the stop sentinel, simulating
+        # the race where a client slips in during shutdown.
+        runner._stop.set()
+        ghost = _Request(np.zeros((1, 1, 3), np.uint8), 1.0, (1, 1), 0.5)
+        runner._q.put(None)
+        runner._q.put(ghost)
+        runner.close()
+        assert ghost.event.is_set()
+        assert ghost.error == "server is shut down"
+        with pytest.raises(RuntimeError, match="shut down"):
+            runner.detect(synth_image_bytes())
+

@@ -48,6 +48,10 @@ def main():
         "scale": jnp.ones((BATCH,), jnp.float32),
         "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
         "index": jnp.arange(BATCH, dtype=jnp.int32),
+        # Production train() always sends per-image loss weights
+        # (wrap-around masking): include them so the measured
+        # program is the one training actually runs.
+        "image_weight": jnp.ones((BATCH,), jnp.float32),
     }
     rng_key = jax.random.key(1)
     lowered = step.lower(state0, batch, rng_key, jnp.float32(0.005))

@@ -40,7 +40,10 @@ def run_and_trace(proposals_only=True):
 
 
 def parse():
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:  # proto moved between TF releases
+        from tensorflow.core.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
                       recursive=True)

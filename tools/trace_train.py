@@ -42,6 +42,10 @@ def main():
         "scale": jnp.ones((BATCH,), jnp.float32),
         "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
         "index": jnp.arange(BATCH, dtype=jnp.int32),
+        # Production train() always sends per-image loss weights
+        # (wrap-around masking): include them so the measured
+        # program is the one training actually runs.
+        "image_weight": jnp.ones((BATCH,), jnp.float32),
     }
     key = jax.random.key(1)
     for i in range(3):
@@ -55,7 +59,10 @@ def main():
         _ = float(m["loss"])
     print("trace captured", flush=True)
 
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:  # proto moved between TF releases
+        from tensorflow.core.profiler.protobuf import xplane_pb2
     paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
                       recursive=True)
     xspace = xplane_pb2.XSpace()
