@@ -8,13 +8,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from podtpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
 from podtpu.core.profiling import slope_time
-from podtpu.models.detector import FasterRCNN, init_variables
-from podtpu.train.optim import make_optimizer
-from podtpu.train.step import create_train_state, make_train_step
 
-BATCH, CANVAS = 4, 1024
+try:
+    from tools.bench_common import BATCH, train_setup
+except ImportError:  # run as `python tools/ab_compiler_options.py`
+    from bench_common import BATCH, train_setup
 
 VARIANTS = {
     "baseline": None,
@@ -26,33 +25,7 @@ VARIANTS = {
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.default_rng(0)
-    model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
-                            compute_dtype="bfloat16")
-    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
-                 data=DataConfig())
-    model = FasterRCNN(cfg=model_cfg)
-    variables = init_variables(model, jax.random.key(0))
-    tx = make_optimizer(cfg.train, cfg.model)
-    state0 = create_train_state(variables, tx)
-    step = make_train_step(model, tx, cfg)
-    g = model_cfg.max_gt_boxes
-    gxy = rng.uniform(0, CANVAS * 0.7, (BATCH, g, 2)).astype(np.float32)
-    gwh = rng.uniform(16, CANVAS * 0.2, (BATCH, g, 2)).astype(np.float32)
-    batch = {
-        "image": jnp.asarray(rng.uniform(0, 1, (BATCH, CANVAS, CANVAS, 3)),
-                             jnp.float32),
-        "boxes": jnp.asarray(np.concatenate([gxy, gxy + gwh], -1)),
-        "labels": jnp.asarray(rng.integers(1, 3, (BATCH, g)), jnp.int32),
-        "valid": jnp.asarray(rng.uniform(0, 1, (BATCH, g)) < 0.2),
-        "scale": jnp.ones((BATCH,), jnp.float32),
-        "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
-        "index": jnp.arange(BATCH, dtype=jnp.int32),
-        # Production train() always sends per-image loss weights
-        # (wrap-around masking): include them so the measured
-        # program is the one training actually runs.
-        "image_weight": jnp.ones((BATCH,), jnp.float32),
-    }
+    _, _, state0, step, batch = train_setup()
     rng_key = jax.random.key(1)
     lowered = step.lower(state0, batch, rng_key, jnp.float32(0.005))
     # The step donates its state argument: snapshot on host so every

@@ -153,51 +153,26 @@ def main():
            slope_time(lambda i: eval_step(params, frozen, images)))
 
     # ---- full train step (baseline) ----
+    try:
+        from tools.bench_common import stepper, synthetic_batch
+    except ImportError:
+        from bench_common import stepper, synthetic_batch
     cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
                  data=DataConfig())
     tx = make_optimizer(cfg.train, cfg.model)
     state = create_train_state(variables, tx)
     step = make_train_step(model, tx, cfg)
-    g = model_cfg.max_gt_boxes
-    gxy = rng.uniform(0, CANVAS * 0.7, (BATCH, g, 2)).astype(np.float32)
-    gwh = rng.uniform(16, CANVAS * 0.2, (BATCH, g, 2)).astype(np.float32)
-    batch = {
-        "image": images,
-        "boxes": jnp.asarray(np.concatenate([gxy, gxy + gwh], -1)),
-        "labels": jnp.asarray(rng.integers(1, 3, (BATCH, g)), jnp.int32),
-        "valid": jnp.asarray(rng.uniform(0, 1, (BATCH, g)) < 0.2),
-        "scale": jnp.ones((BATCH,), jnp.float32),
-        "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
-        "index": jnp.arange(BATCH, dtype=jnp.int32),
-        # Production train() always sends per-image loss weights
-        # (wrap-around masking): include them so the measured
-        # program is the one training actually runs.
-        "image_weight": jnp.ones((BATCH,), jnp.float32),
-    }
-    holder = {"state": state}
-
-    def step_once(i):
-        holder["state"], m = step(holder["state"], batch,
-                                  jax.random.fold_in(jax.random.key(1), i),
-                                  jnp.float32(0.005))
-        return m["loss"]
-
-    report("train_step_full", slope_time(step_once))
+    batch = synthetic_batch(BATCH, CANVAS, model_cfg.max_gt_boxes)
+    batch["image"] = images
+    report("train_step_full", slope_time(stepper(step, state, batch)))
 
     # ---- train step without augmentation ----
     cfg2 = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
                   data=DataConfig(aug_policy="none"))
     step2 = make_train_step(model, tx, cfg2)
     variables2 = init_variables(model, jax.random.key(0))
-    holder2 = {"state": create_train_state(variables2, tx)}
-
-    def step2_once(i):
-        holder2["state"], m = step2(holder2["state"], batch,
-                                    jax.random.fold_in(jax.random.key(1), i),
-                                    jnp.float32(0.005))
-        return m["loss"]
-
-    report("train_step_noaug", slope_time(step2_once))
+    state2 = create_train_state(variables2, tx)
+    report("train_step_noaug", slope_time(stepper(step2, state2, batch)))
 
 
 if __name__ == "__main__":

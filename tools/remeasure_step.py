@@ -1,68 +1,28 @@
 """Quick re-measure of eval forward + train step after kernel changes."""
 import json
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from podtpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
-from podtpu.models.detector import FasterRCNN, init_variables
-from podtpu.train.optim import make_optimizer
 from podtpu.core.profiling import slope_time
-from podtpu.train.step import create_train_state, make_eval_step, \
-    make_train_step
+from podtpu.train.step import make_eval_step
 
-BATCH, CANVAS = 4, 1024
-
-
+try:
+    from tools.bench_common import BATCH, stepper, train_setup
+except ImportError:  # run as `python tools/remeasure_step.py`
+    from bench_common import BATCH, stepper, train_setup
 
 
 def main():
+    import jax
+
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, (BATCH, CANVAS, CANVAS, 3)),
-                         jnp.float32)
-    model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
-                            compute_dtype="bfloat16")
-    model = FasterRCNN(cfg=model_cfg)
-    variables = init_variables(model, jax.random.key(0))
-    params, frozen = variables["params"], variables["frozen"]
+    model, cfg, state, step, batch = train_setup()
 
     eval_step = make_eval_step(model)
-    ms = slope_time(lambda i: eval_step(params, frozen, images)) * 1e3
+    ms = slope_time(lambda i: eval_step(state.params, state.frozen,
+                                        batch["image"])) * 1e3
     print(json.dumps({"component": "eval_forward", "ms": round(ms, 2),
                       "img_per_sec": round(BATCH / ms * 1e3, 2)}), flush=True)
 
-    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
-                 data=DataConfig())
-    tx = make_optimizer(cfg.train, cfg.model)
-    state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, cfg)
-    g = model_cfg.max_gt_boxes
-    gxy = rng.uniform(0, CANVAS * 0.7, (BATCH, g, 2)).astype(np.float32)
-    gwh = rng.uniform(16, CANVAS * 0.2, (BATCH, g, 2)).astype(np.float32)
-    batch = {
-        "image": images,
-        "boxes": jnp.asarray(np.concatenate([gxy, gxy + gwh], -1)),
-        "labels": jnp.asarray(rng.integers(1, 3, (BATCH, g)), jnp.int32),
-        "valid": jnp.asarray(rng.uniform(0, 1, (BATCH, g)) < 0.2),
-        "scale": jnp.ones((BATCH,), jnp.float32),
-        "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
-        "index": jnp.arange(BATCH, dtype=jnp.int32),
-        # Production train() always sends per-image loss weights
-        # (wrap-around masking): include them so the measured
-        # program is the one training actually runs.
-        "image_weight": jnp.ones((BATCH,), jnp.float32),
-    }
-    holder = {"state": state}
-
-    def step_once(i):
-        holder["state"], m = step(holder["state"], batch,
-                                  jax.random.fold_in(jax.random.key(1), i),
-                                  jnp.float32(0.005))
-        return m["loss"]
-
-    ms = slope_time(step_once) * 1e3
+    ms = slope_time(stepper(step, state, batch)) * 1e3
     print(json.dumps({"component": "train_step_full", "ms": round(ms, 2),
                       "img_per_sec": round(BATCH / ms * 1e3, 2)}), flush=True)
 

@@ -7,46 +7,17 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-BATCH, CANVAS = 4, 1024
 TRACE_DIR = "/tmp/train_trace"
 
 
 def main():
-    from podtpu.core.config import Config, DataConfig, ModelConfig, \
-        TrainConfig
-    from podtpu.models.detector import FasterRCNN, init_variables
-    from podtpu.train.optim import make_optimizer
-    from podtpu.train.step import create_train_state, make_train_step
+    try:
+        from tools.bench_common import train_setup
+    except ImportError:  # run as `python tools/trace_train.py`
+        from bench_common import train_setup
 
-    rng = np.random.default_rng(0)
-    model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
-                            compute_dtype="bfloat16")
-    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
-                 data=DataConfig())
-    model = FasterRCNN(cfg=model_cfg)
-    variables = init_variables(model, jax.random.key(0))
-    tx = make_optimizer(cfg.train, cfg.model)
-    state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, cfg)
-    g = model_cfg.max_gt_boxes
-    gxy = rng.uniform(0, CANVAS * 0.7, (BATCH, g, 2)).astype(np.float32)
-    gwh = rng.uniform(16, CANVAS * 0.2, (BATCH, g, 2)).astype(np.float32)
-    batch = {
-        "image": jnp.asarray(rng.uniform(0, 1, (BATCH, CANVAS, CANVAS, 3)),
-                             jnp.float32),
-        "boxes": jnp.asarray(np.concatenate([gxy, gxy + gwh], -1)),
-        "labels": jnp.asarray(rng.integers(1, 3, (BATCH, g)), jnp.int32),
-        "valid": jnp.asarray(rng.uniform(0, 1, (BATCH, g)) < 0.2),
-        "scale": jnp.ones((BATCH,), jnp.float32),
-        "original_size": jnp.full((BATCH, 2), CANVAS, jnp.int32),
-        "index": jnp.arange(BATCH, dtype=jnp.int32),
-        # Production train() always sends per-image loss weights
-        # (wrap-around masking): include them so the measured
-        # program is the one training actually runs.
-        "image_weight": jnp.ones((BATCH,), jnp.float32),
-    }
+    _, _, state, step, batch = train_setup()
     key = jax.random.key(1)
     for i in range(3):
         state, m = step(state, batch, jax.random.fold_in(key, i),
