@@ -295,8 +295,13 @@ def infer_object_detector_tiled(input_path, model_dir, model, threshold,
     dets = infer_tiled(input_path, model_path, threshold=threshold,
                        overlap=overlap, batch_size=batch_size,
                        tile_size=tile_size, spatial_devices=spatial_devices)
-    rows = [{"box": d.box, "score": d.score,
-             "label": labels[d.label - 1]} for d in dets]
+    rows = []
+    for d in dets:
+        row = {"box": d.box, "score": d.score,
+               "label": labels[d.label - 1]}
+        if d.polygon is not None:  # mask models: instance outline
+            row["polygon"] = [[float(x), float(y)] for x, y in d.polygon]
+        rows.append(row)
     text = json.dumps(rows, indent=2)
     if output:
         with open(output, "w") as fp:

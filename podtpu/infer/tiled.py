@@ -31,6 +31,9 @@ class TiledDetection:
     box: Tuple[float, float, float, float]  # xyxy in scan coordinates
     score: float
     label: int  # 1-based model label index
+    # Mask models only: [P, 2] (x, y) polygon outline in scan coordinates
+    # (largest connected component of the predicted instance mask).
+    polygon: "np.ndarray" = None
 
 
 def tile_origins(size: int, tile: int, stride: int) -> List[int]:
@@ -166,7 +169,8 @@ def infer_tiled(
             batch[bi, : sub.shape[0], : sub.shape[1]] = sub
             extents.append((sub.shape[0], sub.shape[1]))
         result = eval_step(params, frozen, batch)
-        det, _ = split_eval_output(result)
+        det, out_masks = split_eval_output(result)
+        masks = np.asarray(out_masks) if out_masks is not None else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -179,10 +183,21 @@ def infer_tiled(
             cx = (boxes[bi][:, 0] + boxes[bi][:, 2]) / 2
             cy = (boxes[bi][:, 1] + boxes[bi][:, 3]) / 2
             keep &= (cx < sw) & (cy < sh)
-            for b, s, l in zip(boxes[bi][keep], scores[bi][keep],
-                               labels[bi][keep]):
+            kept_idx = np.flatnonzero(keep)
+            for j in kept_idx:
+                b, s, l = boxes[bi][j], scores[bi][j], labels[bi][j]
+                poly = None
+                if masks is not None:
+                    # Box-local mask -> polygon in tile coords, then shift
+                    # into scan coords (same trace as infer()'s CVAT
+                    # export, podtpu/infer/inference.py).
+                    from podtpu.infer.inference import _mask_to_annotation
+                    ann = _mask_to_annotation(masks[bi][j], b, "", float(s))
+                    if ann is not None:
+                        poly = np.stack([np.asarray(ann.xs) + x,
+                                         np.asarray(ann.ys) + y], axis=1)
                 detections.append(TiledDetection(
                     box=(float(b[0] + x), float(b[1] + y),
                          float(b[2] + x), float(b[3] + y)),
-                    score=float(s), label=int(l)))
+                    score=float(s), label=int(l), polygon=poly))
     return cross_tile_nms(detections, nms_threshold)

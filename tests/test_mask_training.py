@@ -62,7 +62,7 @@ class TestMaskTrainE2E:
             output_dir=str(tmp_path / "models"),
             name="maskrcnn",
             batch_size=2,
-            max_epochs=1,
+            max_epochs=2,
             alrs_epochs=2,
             alrs_startup_factor=1,
             config=cfg,
@@ -80,3 +80,27 @@ class TestMaskTrainE2E:
         with open(os.path.join(out, "results_segm.txt")) as fp:
             lines = fp.read().strip().splitlines()
         assert len(lines) == 12
+
+        # Tiled inference on the mask model carries instance polygons in
+        # scan coordinates (parity with infer()'s CVAT polygon export).
+        import numpy as np
+        from PIL import Image
+
+        from podtpu.infer.tiled import infer_tiled
+
+        imgs = sorted((tmp_path / "imgs").glob("*.jpg"))[:2]
+        tiles = [np.asarray(Image.open(p)) for p in imgs]
+        scan = np.concatenate(tiles, axis=1)
+        # threshold=0: a 2-epoch model's scores are still near the
+        # background prior; the polygon plumbing is what's under test.
+        dets = infer_tiled(scan, out, threshold=0.0, batch_size=2)
+        with_poly = [d for d in dets if d.polygon is not None]
+        assert with_poly, "mask model produced no polygons in tiled mode"
+        for d in with_poly:
+            assert d.polygon.shape[1] == 2
+            x1, y1, x2, y2 = d.box
+            # Outline stays near its box (within a couple of pixels).
+            assert d.polygon[:, 0].min() >= x1 - 2
+            assert d.polygon[:, 0].max() <= x2 + 2
+            assert d.polygon[:, 1].min() >= y1 - 2
+            assert d.polygon[:, 1].max() <= y2 + 2
