@@ -118,6 +118,10 @@ def cli():
               default="resnet50_fpn", show_default=True,
               help="Detector family: ResNet-50-FPN or the single-map "
                    "MobileNetV2 variant")
+@click.option("--family", type=click.Choice(["faster_rcnn", "retinanet"]),
+              default="faster_rcnn", show_default=True,
+              help="Two-stage Faster R-CNN or one-stage RetinaNet "
+                   "(focal loss)")
 @click.option("--test-tasks", type=str, default=None,
               help="Comma-separated CVAT task ids held out for evaluation "
                    "(fixes the reference's same-task random split; default "
@@ -126,8 +130,9 @@ def cli():
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          with_mask, num_devices, backbone, test_tasks,
-                          server, username, password, image_root):
+                          with_mask, num_devices, backbone, family,
+                          test_tasks, server, username, password,
+                          image_root):
     from podtpu.core.config import Config
     from podtpu.train.train import train
 
@@ -160,7 +165,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,
           optimiser=optimiser, config=cfg, pretrained=pretrained,
           resume=resume, with_mask=with_mask, num_devices=num_devices,
-          backbone=backbone, test_project=test_project)
+          backbone=backbone, family=family, test_project=test_project)
 
 
 @cli.command()

@@ -34,6 +34,13 @@ class ModelConfig:
     pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     pixel_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
+    # Detector family: 'faster_rcnn' (two-stage, the reference's model;
+    # with_mask=True adds the Mask R-CNN head) or 'retinanet' (one-stage,
+    # focal loss — the torchvision-zoo family the reference's vendored
+    # trainer exposes via `torchvision.models.detection.__dict__`,
+    # `engine/train.py:219-221`).  Use ``retinanet_config()`` for matched
+    # anchor/stride/threshold defaults.
+    family: str = "faster_rcnn"
     # Backbone family: 'resnet50_fpn' (the reference's main model,
     # `miso/object_detection/models.py:8`) or 'mobilenet_v2' (its second
     # family — single 1280-channel stride-32 feature map, 5x3 anchors per
@@ -84,6 +91,20 @@ class ModelConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_image: int = 300
+
+    # RetinaNet (family='retinanet'): anchor-matching bands, focal loss,
+    # and the static candidate pool fed to the final NMS.  Torchvision
+    # keeps up to 1000 candidates PER LEVEL; here the merged pool is
+    # re-topped to `retinanet_nms_candidates` so the single class-offset
+    # NMS stays inside the Pallas kernel's 2048-box cap (a documented
+    # deviation that only bites scenes with >2000 above-threshold
+    # candidates).
+    retinanet_fg_iou: float = 0.5
+    retinanet_bg_iou: float = 0.4
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    retinanet_topk_per_level: int = 1000
+    retinanet_nms_candidates: int = 2000
 
     # Mask head (Mask R-CNN variant; reference `models.py:15-25`)
     with_mask: bool = False
@@ -148,6 +169,21 @@ def mobilenet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
         # RoIAlign path is the validated one at C=1280 (the Pallas kernel's
         # VMEM windows are sized for 256-channel FPN maps).
         use_pallas_roi_align=False,
+        **kw)
+
+
+def retinanet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's ``retinanet_resnet50_fpn``:
+    P3..P7 pyramid (strides 8..128), 3 octave scales x 3 ratios = 9
+    anchors per location, IoU bands 0.5/0.4, score threshold 0.05."""
+    base = cfg or ModelConfig()
+    octave = (1.0, 2.0 ** (1.0 / 3.0), 2.0 ** (2.0 / 3.0))
+    return dataclasses.replace(
+        base,
+        family="retinanet",
+        strides=(8, 16, 32, 64, 128),
+        anchor_sizes=tuple(
+            tuple(s * o for o in octave) for s in (32, 64, 128, 256, 512)),
         **kw)
 
 

@@ -29,7 +29,7 @@ from podtpu.data.image import ImageMetadata
 from podtpu.data.loader import Loader
 from podtpu.data.project import Project
 from podtpu.data.annotation import RectangleAnnotation
-from podtpu.models.detector import FasterRCNN
+from podtpu.models.detector import make_detector
 from podtpu.train.checkpoints import load_model
 from podtpu.train.step import make_eval_step, split_eval_output
 
@@ -45,7 +45,7 @@ def load_inference_model(model_dir: str):
     # are re-uploaded on EVERY call (hundreds of per-leaf transfers per
     # batch on remote-TPU setups).
     params, frozen = jax.device_put((params, frozen), jax.devices()[0])
-    model = FasterRCNN(cfg=model_cfg)
+    model = make_detector(model_cfg)
     return make_eval_step(model), params, frozen, model_cfg, labels
 
 

@@ -122,18 +122,18 @@ def infer_tiled(
     if tile_size is not None and (tile_size, tile_size) != cfg.image_size:
         import dataclasses
 
-        from podtpu.models.detector import FasterRCNN
+        from podtpu.models.detector import make_detector
         from podtpu.train.step import make_eval_step
         cfg = dataclasses.replace(cfg, image_size=(tile_size, tile_size))
-        eval_step = make_eval_step(FasterRCNN(cfg=cfg))
+        eval_step = make_eval_step(make_detector(cfg))
     if spatial_devices > 1:
         import jax
 
-        from podtpu.models.detector import FasterRCNN
+        from podtpu.models.detector import make_detector
         from podtpu.parallel.spatial import (make_spatial_eval_step,
                                              spatial_mesh)
         mesh = spatial_mesh(jax.devices()[:spatial_devices])
-        eval_step = make_spatial_eval_step(FasterRCNN(cfg=cfg), mesh)
+        eval_step = make_spatial_eval_step(make_detector(cfg), mesh)
     th, tw = cfg.image_size
     assert th == tw, "tiled inference assumes a square canvas"
     tile = th

@@ -214,6 +214,17 @@ class FasterRCNN(nn.Module):
         return jax.nn.sigmoid(picked)  # [B, D, M, M]
 
 
+def make_detector(cfg: ModelConfig):
+    """Model family dispatch: the single constructor every entry point
+    (train, inference load, tiled rebuild, init proxy) goes through, so a
+    saved ``config.json`` reconstructs the right architecture."""
+    if getattr(cfg, "family", "faster_rcnn") == "retinanet":
+        from podtpu.models.retinanet import RetinaNet
+
+        return RetinaNet(cfg=cfg)
+    return FasterRCNN(cfg=cfg)
+
+
 def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
     """Initialise parameters cheaply at a small canvas, on the CPU backend.
 
@@ -232,8 +243,13 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
         rpn_pre_nms_topk_train=64, rpn_pre_nms_topk_test=64,
         rpn_post_nms_topk_train=64, rpn_post_nms_topk_test=32,
         box_batch_per_image=8, detections_per_image=4, max_gt_boxes=4,
-        use_pallas_roi_align=False)
-    proxy = FasterRCNN(cfg=small)
+        use_pallas_roi_align=False,
+        # Keep the RetinaNet candidate pool under the Pallas NMS dispatch
+        # window too: this init traces on the CPU device while the global
+        # backend may be TPU, and a TPU-lowered pallas_call cannot lower
+        # for CPU.
+        retinanet_topk_per_level=64, retinanet_nms_candidates=128)
+    proxy = make_detector(small)
 
     def run_init():
         images = jnp.zeros((1, init_canvas, init_canvas, 3), jnp.float32)
@@ -255,7 +271,8 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
 
 def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
                 with_mask: bool = False,
-                backbone: Optional[str] = None) -> Tuple[FasterRCNN, ModelConfig]:
+                backbone: Optional[str] = None,
+                family: Optional[str] = None) -> Tuple[nn.Module, ModelConfig]:
     """Model factory mirroring the reference's
     ``get_object_detection_model(num_classes)`` /
     ``get_instance_segmentation_model`` (`miso/object_detection/models.py:7-25`):
@@ -264,16 +281,20 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
     ``backbone="mobilenet_v2"`` builds the reference's second family (the
     single-map MobileNetV2 Faster R-CNN of
     `miso/instance_segmentation/training.py:7-36`) with matched
-    anchor/stride defaults.
+    anchor/stride defaults.  ``family="retinanet"`` builds the one-stage
+    focal-loss family (torchvision-zoo model the reference's vendored
+    trainer exposes, `engine/train.py:219-221`).
     """
     import dataclasses
 
-    from podtpu.core.config import mobilenet_config
+    from podtpu.core.config import mobilenet_config, retinanet_config
     cfg = cfg or ModelConfig()
+    if family == "retinanet" and cfg.family != "retinanet":
+        cfg = retinanet_config(cfg)
     if backbone == "mobilenet_v2" and cfg.backbone != "mobilenet_v2":
         cfg = mobilenet_config(cfg)
     elif backbone is not None and backbone != cfg.backbone:
         cfg = dataclasses.replace(cfg, backbone=backbone)
     cfg = dataclasses.replace(cfg, num_classes=num_classes,
                               with_mask=with_mask or cfg.with_mask)
-    return FasterRCNN(cfg=cfg), cfg
+    return make_detector(cfg), cfg

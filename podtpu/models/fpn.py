@@ -25,15 +25,25 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 class FPN(nn.Module):
     out_channels: int = 256
     dtype: Any = jnp.bfloat16
+    # Coarse extra levels: "pool" = stride-2 max-pool P6 (torchvision
+    # ``LastLevelMaxPool``, the Faster R-CNN default) or "p6p7" = stride-2
+    # convs P6 = conv(P5), P7 = conv(relu(P6)) (``LastLevelP6P7``, the
+    # RetinaNet pyramid).
+    extra: str = "pool"
+    # Index of the finest input level (naming only: C{first_level}..C5 in,
+    # P{first_level}.. out).  Faster R-CNN uses C2.., RetinaNet C3..
+    first_level: int = 2
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
-        conv = lambda f, k, name: nn.Conv(
-            f, (k, k), padding=[(k // 2, k // 2)] * 2, dtype=self.dtype,
+        conv = lambda f, k, name, stride=1: nn.Conv(
+            f, (k, k), strides=(stride, stride),
+            padding=[(k // 2, k // 2)] * 2, dtype=self.dtype,
             param_dtype=jnp.float32, name=name)
 
+        f0 = self.first_level
         laterals = [
-            conv(self.out_channels, 1, f"lateral{i + 2}")(c)
+            conv(self.out_channels, 1, f"lateral{i + f0}")(c)
             for i, c in enumerate(inputs)
         ]
         # Top-down pathway: upsample coarse and add.
@@ -46,9 +56,14 @@ class FPN(nn.Module):
         tops = tops[::-1]  # fine -> coarse
 
         outs = [
-            conv(self.out_channels, 3, f"post{i + 2}")(t)
+            conv(self.out_channels, 3, f"post{i + f0}")(t)
             for i, t in enumerate(tops)
         ]
-        # P6 for the RPN: stride-2 max pool of P5.
-        p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
-        return tuple(outs) + (p6,)
+        if self.extra == "pool":
+            # P6 for the RPN: stride-2 max pool of P5.
+            p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
+            return tuple(outs) + (p6,)
+        assert self.extra == "p6p7", self.extra
+        p6 = conv(self.out_channels, 3, "p6", stride=2)(outs[-1])
+        p7 = conv(self.out_channels, 3, "p7", stride=2)(nn.relu(p6))
+        return tuple(outs) + (p6, p7)

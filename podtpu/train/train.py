@@ -34,7 +34,7 @@ from podtpu.core.logging import MetricLogger, is_main_process
 from podtpu.data.dataset import DetectionDataset, train_test_split
 from podtpu.data.loader import Loader
 from podtpu.data.project import Project
-from podtpu.models.detector import FasterRCNN, init_variables
+from podtpu.models.detector import init_variables, make_detector
 from podtpu.shared.utils import now_as_str
 from podtpu.train import checkpoints as ckpt
 from podtpu.train.alrs import AdaptiveLearningRateScheduler
@@ -68,6 +68,7 @@ def train(project: Project,
           with_mask: bool = False,
           num_devices: Optional[int] = None,
           backbone: Optional[str] = None,
+          family: Optional[str] = None,
           test_project: Optional[Project] = None) -> str:
     """Train a detector on ``project``; returns the model directory path.
 
@@ -99,6 +100,11 @@ def train(project: Project,
 
     cfg = config or Config()
     model_cfg = cfg.model
+    if family == "retinanet" and model_cfg.family != "retinanet":
+        # One-stage focal-loss family (the torchvision-zoo model the
+        # reference's vendored trainer exposes, `engine/train.py:219-221`).
+        from podtpu.core.config import retinanet_config
+        model_cfg = retinanet_config(model_cfg)
     if backbone == "mobilenet_v2" and model_cfg.backbone != "mobilenet_v2":
         # The reference's second detector family (MobileNetV2 single-map
         # Faster R-CNN, `miso/instance_segmentation/training.py:7-36`).
@@ -228,7 +234,7 @@ def train(project: Project,
     num_classes = len(labels) + 1
     print(f"Number of classes: {num_classes}")
     print(f"Optimiser: {cfg.train.optimiser}")
-    model = FasterRCNN(cfg=cfg.model)
+    model = make_detector(cfg.model)
     init_rng, loop_rng = jax.random.split(jax.random.key(seed))
     variables = init_variables(model, init_rng)
     if pretrained:

@@ -1,0 +1,210 @@
+"""RetinaNet family (podtpu/models/retinanet.py).
+
+The one-stage focal-loss detector the reference's vendored trainer exposes
+via the torchvision zoo (`engine/train.py:219-221`).
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from podtpu.core.config import Config, ModelConfig, retinanet_config
+from tests.conftest import tiny_config
+
+
+def micro_retina_cfg():
+    base = tiny_config().model
+    cfg = retinanet_config(base)
+    return dataclasses.replace(
+        cfg, num_classes=3, image_size=(128, 128), max_gt_boxes=8,
+        detections_per_image=8, compute_dtype="float32",
+        retinanet_topk_per_level=64, retinanet_nms_candidates=128)
+
+
+class TestConfig:
+    def test_retinanet_config_anchors(self):
+        cfg = retinanet_config(ModelConfig())
+        assert cfg.family == "retinanet"
+        assert cfg.strides == (8, 16, 32, 64, 128)
+        # 3 octave scales x 3 ratios = 9 anchors per location.
+        assert cfg.anchors_per_location == 9
+        assert len(cfg.anchor_sizes) == 5
+        assert abs(cfg.anchor_sizes[0][1] - 32 * 2 ** (1 / 3)) < 1e-6
+
+    def test_make_detector_dispatch(self):
+        from podtpu.models.detector import make_detector
+        from podtpu.models.retinanet import RetinaNet
+
+        assert isinstance(make_detector(micro_retina_cfg()), RetinaNet)
+        assert type(make_detector(tiny_config().model)).__name__ == \
+            "FasterRCNN"
+
+
+class TestFocalLoss:
+    def test_matches_naive(self):
+        from podtpu.models.retinanet import sigmoid_focal_loss
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(0, 2, (64, 5)), jnp.float32)
+        targets = jnp.asarray(rng.integers(0, 2, (64, 5)), jnp.float32)
+        got = np.asarray(sigmoid_focal_loss(logits, targets, 0.25, 2.0))
+        p = 1 / (1 + np.exp(-np.asarray(logits)))
+        t = np.asarray(targets)
+        ce = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+        p_t = p * t + (1 - p) * (1 - t)
+        a_t = 0.25 * t + 0.75 * (1 - t)
+        want = a_t * ce * (1 - p_t) ** 2
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_prior_bias_keeps_initial_loss_small(self):
+        """With the -log((1-p)/p) bias init the background focal loss per
+        anchor starts near p*|log p| rather than ~0.7 (the focal paper's
+        initialisation rationale)."""
+        from podtpu.models.detector import init_variables, make_detector
+
+        cfg = micro_retina_cfg()
+        model = make_detector(cfg)
+        variables = init_variables(model, jax.random.key(0))
+        images = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        gt = {"boxes": jnp.zeros((1, 8, 4)),
+              "labels": jnp.zeros((1, 8), jnp.int32),
+              "valid": jnp.zeros((1, 8), bool)}
+        losses = model.apply(variables, images, gt=gt, train=True,
+                             rng=jax.random.key(1))
+        # All-background image: classification loss normalised by
+        # max(num_fg, 1) stays bounded (would be ~1e4 without the prior).
+        assert float(losses["classification"]) < 100.0
+
+
+class TestRetinaNetModel:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from podtpu.models.detector import init_variables, make_detector
+
+        cfg = micro_retina_cfg()
+        model = make_detector(cfg)
+        variables = init_variables(model, jax.random.key(0))
+        return cfg, model, variables
+
+    def test_head_weights_shared_across_levels(self, setup):
+        _, _, variables = setup
+        head = variables["params"]["head"]
+        # ONE subnet parameter set (applied to all 5 levels), torchvision's
+        # shared-head semantics.
+        assert set(head) == {"cls_conv0", "cls_conv1", "cls_conv2",
+                             "cls_conv3", "cls_logits", "box_conv0",
+                             "box_conv1", "box_conv2", "box_conv3",
+                             "box_deltas"}
+
+    def test_train_and_eval_shapes(self, setup):
+        cfg, model, variables = setup
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)),
+                             jnp.float32)
+        gxy = rng.uniform(0, 90, (2, 8, 2)).astype(np.float32)
+        gwh = rng.uniform(8, 30, (2, 8, 2)).astype(np.float32)
+        gt = {"boxes": jnp.asarray(np.concatenate([gxy, gxy + gwh], -1)),
+              "labels": jnp.asarray(rng.integers(1, 3, (2, 8)), jnp.int32),
+              "valid": jnp.ones((2, 8), bool)}
+        losses = model.apply(variables, images, gt=gt, train=True,
+                             rng=jax.random.key(1))
+        assert set(losses) == {"classification", "bbox_regression"}
+        assert all(np.isfinite(float(v)) for v in losses.values())
+        det = model.apply(variables, images, train=False)
+        assert det.boxes.shape == (2, 8, 4)
+        assert det.scores.shape == det.labels.shape == det.valid.shape \
+            == (2, 8)
+
+    def test_loss_decreases_when_overfitting(self, setup):
+        """A few SGD steps on one fixed batch reduce the summed loss —
+        gradients flow through the focal + regression path."""
+        cfg, model, variables = setup
+        import optax
+
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)),
+                             jnp.float32)
+        gxy = np.array([[[20.0, 20.0], [70.0, 60.0]]], np.float32)
+        gwh = np.array([[[40.0, 40.0], [30.0, 30.0]]], np.float32)
+        boxes = np.zeros((1, 8, 4), np.float32)
+        boxes[0, :2] = np.concatenate([gxy, gxy + gwh], -1)[0]
+        valid = np.zeros((1, 8), bool)
+        valid[0, :2] = True
+        labels = np.zeros((1, 8), np.int32)
+        labels[0, :2] = [1, 2]
+        gt = {"boxes": jnp.asarray(boxes),
+              "labels": jnp.asarray(labels),
+              "valid": jnp.asarray(valid)}
+        tx = optax.adam(1e-3)
+        params = variables["params"]
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                losses = model.apply(
+                    {"params": p, "frozen": variables["frozen"]}, images,
+                    gt=gt, train=True, rng=jax.random.key(0))
+                return sum(losses.values())
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        first = None
+        for _ in range(15):
+            params, opt_state, loss = step(params, opt_state)
+            first = first if first is not None else float(loss)
+        assert float(loss) < first * 0.9, (first, float(loss))
+
+
+class TestRetinaNetE2E:
+    @pytest.mark.slow
+    def test_train_infer_roundtrip(self, synthetic_root, tmp_path):
+        """Product path: train(family='retinanet') -> artifacts ->
+        load_inference_model reconstructs a RetinaNet from config.json ->
+        detections come back through the standard eval surface."""
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        project = make_project(str(synthetic_root / "images"), num_images=10)
+        out = train(
+            project, labels=["particle"], output_dir=str(tmp_path),
+            name="retina", batch_size=2, max_epochs=2, alrs_epochs=2,
+            alrs_startup_factor=1, config=tiny_config(), num_workers=2,
+            seed=0, family="retinanet",
+        )
+        assert os.path.exists(os.path.join(out, "model.msgpack"))
+        assert os.path.exists(os.path.join(out, "results.txt"))
+        import json
+        with open(os.path.join(out, "config.json")) as fp:
+            saved = json.load(fp)
+        assert saved["model"]["family"] == "retinanet"
+
+        from podtpu.infer.inference import load_inference_model
+        eval_step, params, frozen, cfg, labels = load_inference_model(out)
+        assert cfg.family == "retinanet"
+        rng = np.random.default_rng(0)
+        images = (rng.uniform(0, 255, (1,) + tuple(cfg.image_size) + (3,))
+                  .astype(np.uint8))
+        det = eval_step(params, frozen, images)
+        assert det.boxes.shape[0] == 1
+
+    @pytest.mark.slow
+    def test_train_dp_mesh(self, synthetic_root, tmp_path):
+        """family='retinanet' rides the same shard_map DP step as the
+        flagship (the model is swapped under an unchanged engine)."""
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        project = make_project(str(synthetic_root / "images"), num_images=10)
+        out = train(
+            project, labels=["particle"], output_dir=str(tmp_path),
+            name="retina_dp", batch_size=2, max_epochs=1, alrs_epochs=2,
+            alrs_startup_factor=1, config=tiny_config(), num_workers=2,
+            seed=0, family="retinanet", num_devices=2,
+        )
+        assert os.path.exists(os.path.join(out, "results.txt"))
