@@ -124,6 +124,55 @@ def torchvision_key_map() -> Dict[str, Tuple[str, str, callable]]:
     return m
 
 
+def retinanet_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``retinanet_resnet50_fpn`` state_dict -> podtpu
+    RetinaNet paths: same ResNet trunk map, 3-level FPN (C3..C5 laterals)
+    plus the p6/p7 extra convs, and the shared 4-conv subnets.  Both the
+    pre-0.13 plain-Sequential head spelling (``conv.{2i}``) and the
+    Conv2dNormActivation spelling (``conv.{i}.0``) are included — only
+    one matches any given checkpoint.  The class-count-dependent
+    ``cls_logits`` is copied only when shapes match (same policy as the
+    Faster R-CNN predictor heads)."""
+    m: Dict[str, Tuple[str, str, callable]] = {}
+    bb = "backbone.body"
+    m[f"{bb}.conv1.weight"] = ("params", "backbone/conv1/kernel", _conv)
+    for stat, ours in (("weight", "weight"), ("bias", "bias"),
+                       ("running_mean", "mean"), ("running_var", "var")):
+        m[f"{bb}.bn1.{stat}"] = ("frozen", f"backbone/bn1/{ours}", np.asarray)
+    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+        m.update(_bottleneck_names(f"{bb}.layer{stage}",
+                                   f"backbone/layer{stage}", blocks))
+    # FPN over C3..C5 (returned_layers=[2,3,4] in torchvision retinanet).
+    for i in range(3):
+        for tvn, ours in ((f"backbone.fpn.inner_blocks.{i}",
+                           f"fpn/lateral{i + 3}"),
+                          (f"backbone.fpn.layer_blocks.{i}",
+                           f"fpn/post{i + 3}")):
+            for cand in (tvn, f"{tvn}.0"):
+                m[f"{cand}.weight"] = ("params", f"{ours}/kernel", _conv)
+                m[f"{cand}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    for tvn, ours in (("backbone.fpn.extra_blocks.p6", "fpn/p6"),
+                      ("backbone.fpn.extra_blocks.p7", "fpn/p7")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    # Shared subnets: 4 convs each + the final logits/deltas convs.
+    for i in range(4):
+        for tvn, ours in (
+            (f"head.classification_head.conv.{2 * i}", f"head/cls_conv{i}"),
+            (f"head.classification_head.conv.{i}.0", f"head/cls_conv{i}"),
+            (f"head.regression_head.conv.{2 * i}", f"head/box_conv{i}"),
+            (f"head.regression_head.conv.{i}.0", f"head/box_conv{i}"),
+        ):
+            m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+            m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    for tvn, ours in (("head.classification_head.cls_logits",
+                       "head/cls_logits"),
+                      ("head.regression_head.bbox_reg", "head/box_deltas")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    return m
+
+
 def mobilenet_v2_key_map(prefix: str = "backbone") -> Dict[str, Tuple[str, str, callable]]:
     """torchvision ``mobilenet_v2`` state_dict -> podtpu MobileNetV2 paths.
 
@@ -221,6 +270,9 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
     if key_map is None:
         if any(k.startswith("features.") for k in state_dict):
             key_map = mobilenet_v2_key_map()
+        elif any(k.startswith("head.classification_head") for k
+                 in state_dict):
+            key_map = retinanet_key_map()
         else:
             key_map = torchvision_key_map()
     loaded, skipped = 0, []

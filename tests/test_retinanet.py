@@ -208,3 +208,49 @@ class TestRetinaNetE2E:
             seed=0, family="retinanet", num_devices=2,
         )
         assert os.path.exists(os.path.join(out, "results.txt"))
+
+
+class TestRetinaNetWeightImport:
+    def test_torchvision_layout_roundtrip(self):
+        """A full fake ``retinanet_resnet50_fpn`` state_dict (torch OIHW
+        layouts) imports into every mappable path, auto-detected from the
+        head key prefix."""
+        from podtpu.models.detector import init_variables, make_detector
+        from podtpu.models.weights import (_conv,
+                                           convert_torchvision_state_dict,
+                                           retinanet_key_map)
+
+        cfg = micro_retina_cfg()
+        variables = init_variables(make_detector(cfg), jax.random.key(0))
+        rng = np.random.default_rng(0)
+        sd, targets = {}, {}
+        seen = set()
+        for torch_key, (coll, path, tr) in retinanet_key_map().items():
+            dedupe = (coll, path, torch_key.rsplit(".", 1)[-1])
+            if dedupe in seen:  # alias spellings: a checkpoint has one
+                continue
+            node = variables[coll]
+            ok = True
+            for k in path.split("/"):
+                if k not in node:
+                    ok = False
+                    break
+                node = node[k]
+            if not ok:
+                continue
+            seen.add(dedupe)
+            target = rng.normal(size=np.asarray(node).shape).astype(
+                np.float32)
+            targets[(coll, path)] = target
+            sd[torch_key] = np.transpose(target, (3, 2, 0, 1)) \
+                if tr is _conv else target
+        assert len(sd) > 300  # trunk + fpn + subnets all covered
+        out, (loaded, skipped) = convert_torchvision_state_dict(
+            sd, variables, return_stats=True)  # no key_map: auto-detect
+        assert loaded == len(sd)
+        assert not skipped
+        for (coll, path), want in targets.items():
+            node = out[coll]
+            for k in path.split("/"):
+                node = node[k]
+            np.testing.assert_allclose(np.asarray(node), want, rtol=1e-6)
