@@ -112,6 +112,16 @@ def train(project: Project,
         model_cfg = mobilenet_config(model_cfg)
     elif backbone is not None:
         model_cfg = dataclasses.replace(model_cfg, backbone=backbone)
+    if pretrained is None and model_cfg.trainable_backbone_stages == 3:
+        # torchvision `_validate_trainable_layers` semantics: the 3-stage
+        # freeze exists to protect PRETRAINED early features; without
+        # pretrained weights it would freeze the stem+layer1 at their
+        # RANDOM init, which stalls training (one-stage detectors never
+        # recover from it).  Train the whole backbone instead.
+        model_cfg = dataclasses.replace(model_cfg,
+                                        trainable_backbone_stages=5)
+        print("No pretrained weights: training all backbone stages "
+              "(freezing random features would stall learning)")
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(

@@ -183,6 +183,10 @@ class TestRetinaNetE2E:
         with open(os.path.join(out, "config.json")) as fp:
             saved = json.load(fp)
         assert saved["model"]["family"] == "retinanet"
+        # No pretrained weights -> the whole backbone trains (torchvision
+        # _validate_trainable_layers semantics; frozen random stages stall
+        # one-stage training).
+        assert saved["model"]["trainable_backbone_stages"] == 5
 
         from podtpu.infer.inference import load_inference_model
         eval_step, params, frozen, cfg, labels = load_inference_model(out)

@@ -230,6 +230,12 @@ class TestWeightImport:
                     alrs_startup_factor=1, config=tiny_config(),
                     num_workers=2, pretrained=str(pth))
         assert (tmp_path / "models" / "pre" / "model.msgpack").exists()
+        # WITH pretrained weights the default 3-stage freeze stays
+        # (protecting the imported early features, torchvision semantics).
+        import json
+        with open(tmp_path / "models" / "pre" / "config.json") as fp:
+            saved = json.load(fp)
+        assert saved["model"]["trainable_backbone_stages"] == 3
 
     def test_forward_runs_with_imported_weights(self, variables):
         sd = make_fake_state_dict(variables)
