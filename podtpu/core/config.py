@@ -94,17 +94,17 @@ class ModelConfig:
 
     # RetinaNet (family='retinanet'): anchor-matching bands, focal loss,
     # and the static candidate pool fed to the final NMS.  Torchvision
-    # keeps up to 1000 candidates PER LEVEL; here the merged pool is
-    # re-topped to `retinanet_nms_candidates` so the single class-offset
-    # NMS stays inside the Pallas kernel's 2048-box cap (a documented
-    # deviation that only bites scenes with >2000 above-threshold
-    # candidates).
+    # keeps up to 1000 candidates per level; the merged pool (<= 5000 for
+    # the 5-level pyramid) is re-topped to `retinanet_nms_candidates` —
+    # the default covers the full torchvision pool and stays inside the
+    # Pallas NMS kernel's 8192-box cap, so the single class-offset NMS
+    # pass rides the kernel with no truncation.
     retinanet_fg_iou: float = 0.5
     retinanet_bg_iou: float = 0.4
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     retinanet_topk_per_level: int = 1000
-    retinanet_nms_candidates: int = 2000
+    retinanet_nms_candidates: int = 5000
 
     # Mask head (Mask R-CNN variant; reference `models.py:15-25`)
     with_mask: bool = False

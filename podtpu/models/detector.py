@@ -291,6 +291,12 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
     cfg = cfg or ModelConfig()
     if family == "retinanet" and cfg.family != "retinanet":
         cfg = retinanet_config(cfg)
+    if cfg.family == "retinanet" and (with_mask or cfg.with_mask
+                                      or backbone == "mobilenet_v2"
+                                      or cfg.backbone == "mobilenet_v2"):
+        raise ValueError(
+            "family='retinanet' supports neither with_mask (no RoI stage) "
+            "nor the mobilenet_v2 backbone (needs the P3-P7 FPN)")
     if backbone == "mobilenet_v2" and cfg.backbone != "mobilenet_v2":
         cfg = mobilenet_config(cfg)
     elif backbone is not None and backbone != cfg.backbone:

@@ -40,7 +40,8 @@ from podtpu.models.roi_heads import Detections
 from podtpu.ops import boxes as box_ops
 from podtpu.ops import matching
 from podtpu.ops.anchors import grid_anchors
-from podtpu.ops.nms import NEG_INF, nms_keep
+from podtpu.ops import nms
+from podtpu.ops.nms import NEG_INF
 
 
 class RetinaNetHead(nn.Module):
@@ -95,20 +96,16 @@ class RetinaNetHead(nn.Module):
 def sigmoid_focal_loss(logits, targets, alpha: float, gamma: float):
     """Elementwise sigmoid focal loss (torchvision ``sigmoid_focal_loss``
     semantics, 'none' reduction)."""
+    from podtpu.models.rpn import optax_sigmoid_bce
+
     p = jax.nn.sigmoid(logits)
-    ce = optax_bce(logits, targets)
+    ce = optax_sigmoid_bce(logits, targets)
     p_t = p * targets + (1.0 - p) * (1.0 - targets)
     loss = ce * (1.0 - p_t) ** gamma
     if alpha >= 0:
         a_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
         loss = a_t * loss
     return loss
-
-
-def optax_bce(logits, labels):
-    """Numerically stable BCE-with-logits."""
-    return jnp.maximum(logits, 0.0) - logits * labels \
-        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
 class RetinaNet(nn.Module):
@@ -229,26 +226,22 @@ class RetinaNet(nn.Module):
             labels = jnp.concatenate(cand_labels, axis=0)
             ok = scores > cfg.score_thresh
             ok &= box_ops.small_box_mask(boxes, 1e-2)
-            # Merge-pool re-top so the class-offset NMS stays static and
-            # inside the Pallas cap (documented deviation; torchvision
-            # carries all per-level survivors).
+            # Merge-pool re-top keeps the NMS static: the default pool
+            # covers every per-level survivor (torchvision semantics) and
+            # stays inside the Pallas NMS kernel's 8192-box cap.
             pool = min(cfg.retinanet_nms_candidates, scores.shape[0])
             msc = jnp.where(ok, scores, NEG_INF)
             top, idx = jax.lax.top_k(msc, pool)
             boxes, scores, labels = boxes[idx], top, labels[idx]
             valid = scores > NEG_INF / 2
-            # Class-offset trick: shift each class into its own coordinate
-            # island so ONE NMS pass is class-aware (torchvision
-            # ``batched_nms``).
-            side = float(max(cfg.image_size)) + 2.0
-            shifted = boxes + (labels.astype(jnp.float32) * side)[:, None]
-            keep = nms_keep(shifted, scores, cfg.nms_thresh, valid=valid)
-            msc = jnp.where(keep & valid, scores, NEG_INF)
+            # Class-aware single-pass NMS (shared coordinate-offset
+            # helper, torchvision ``batched_nms`` semantics).
+            keep = nms.batched_nms_keep(boxes, scores, labels,
+                                        cfg.nms_thresh, valid=valid)
             d = cfg.detections_per_image
-            out_scores, oidx = jax.lax.top_k(msc, d)
-            out_valid = out_scores > NEG_INF / 2
+            oidx, out_valid = nms.topk_by_score(scores, keep, d)
             return (jnp.where(out_valid[:, None], boxes[oidx], 0.0),
-                    jnp.where(out_valid, out_scores, 0.0),
+                    jnp.where(out_valid, scores[oidx], 0.0),
                     jnp.where(out_valid, labels[oidx], 0),
                     out_valid)
 

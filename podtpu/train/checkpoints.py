@@ -38,26 +38,30 @@ def save_model(out_dir: str, params, frozen, model_cfg: ModelConfig,
                    "labels": list(labels)}, fp, indent=2)
 
 
-def load_model(model_dir: str) -> Tuple[Dict, Dict, ModelConfig, list]:
-    """Returns (params, frozen, model_cfg, labels)."""
-    with open(os.path.join(model_dir, "config.json")) as fp:
-        meta = json.load(fp)
-    cfg_dict = meta["model"]
-    # Tuples serialise as lists; restore the dataclass faithfully.
+def model_config_from_dict(cfg_dict: Dict) -> ModelConfig:
+    """Rebuild a ModelConfig from its JSON/pickle dict form (tuples
+    serialise as lists; anchor_sizes may nest per-level size tuples, which
+    must come back hashable for grid_anchors' cache)."""
     field_types = {f.name: f.type for f in dataclasses.fields(ModelConfig)}
-    kwargs = {}
+
     def detuple(v):
-        # Recursive: anchor_sizes may nest per-level size tuples
-        # (mobilenet_v2), which must stay hashable for grid_anchors' cache.
         if isinstance(v, list):
             return tuple(detuple(x) for x in v)
         return v
 
+    kwargs = {}
     for k, v in cfg_dict.items():
         if k in field_types:
             v = detuple(v)
         kwargs[k] = v
-    model_cfg = ModelConfig(**kwargs)
+    return ModelConfig(**kwargs)
+
+
+def load_model(model_dir: str) -> Tuple[Dict, Dict, ModelConfig, list]:
+    """Returns (params, frozen, model_cfg, labels)."""
+    with open(os.path.join(model_dir, "config.json")) as fp:
+        meta = json.load(fp)
+    model_cfg = model_config_from_dict(meta["model"])
     with open(os.path.join(model_dir, "model.msgpack"), "rb") as fp:
         payload = serialization.msgpack_restore(fp.read())
     return payload["params"], payload["frozen"], model_cfg, meta["labels"]
@@ -94,7 +98,8 @@ def save_results(out_dir: str, stats, stat_names,
 # -- mid-training checkpoints -------------------------------------------------
 
 def save_train_checkpoint(out_dir: str, state, epoch: int,
-                          alrs_state: Dict) -> None:
+                          alrs_state: Dict,
+                          model_cfg: Optional[ModelConfig] = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "checkpoint.pkl")
     tmp = path + ".tmp"
@@ -106,6 +111,10 @@ def save_train_checkpoint(out_dir: str, state, epoch: int,
         "epoch": epoch,
         "alrs": alrs_state,
     }
+    if model_cfg is not None:
+        # Resume rebuilds the EXACT architecture/optimizer from this, not
+        # from the resuming call's arguments (see train.py).
+        payload["model_cfg"] = dataclasses.asdict(model_cfg)
     with open(tmp, "wb") as fp:
         pickle.dump(payload, fp)
     os.replace(tmp, path)

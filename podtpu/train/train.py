@@ -105,6 +105,16 @@ def train(project: Project,
         # reference's vendored trainer exposes, `engine/train.py:219-221`).
         from podtpu.core.config import retinanet_config
         model_cfg = retinanet_config(model_cfg)
+    if model_cfg.family == "retinanet":
+        if backbone == "mobilenet_v2" or model_cfg.backbone == "mobilenet_v2":
+            raise ValueError(
+                "family='retinanet' requires the ResNet-50-FPN backbone "
+                "(its P3-P7 pyramid and 9-anchor head don't fit the "
+                "single-map MobileNetV2 layout)")
+        if with_mask or cfg.model.with_mask:
+            raise ValueError(
+                "with_mask requires family='faster_rcnn' (the Mask R-CNN "
+                "head pools RoIs; RetinaNet has no RoI stage)")
     if backbone == "mobilenet_v2" and model_cfg.backbone != "mobilenet_v2":
         # The reference's second detector family (MobileNetV2 single-map
         # Faster R-CNN, `miso/instance_segmentation/training.py:7-36`).
@@ -112,25 +122,6 @@ def train(project: Project,
         model_cfg = mobilenet_config(model_cfg)
     elif backbone is not None:
         model_cfg = dataclasses.replace(model_cfg, backbone=backbone)
-    if pretrained is None and model_cfg.trainable_backbone_stages == 3:
-        # torchvision `_validate_trainable_layers` semantics: the 3-stage
-        # freeze exists to protect PRETRAINED early features; without
-        # pretrained weights it would freeze the stem+layer1 at their
-        # RANDOM init, which stalls training (one-stage detectors never
-        # recover from it).  Train the whole backbone instead.
-        model_cfg = dataclasses.replace(model_cfg,
-                                        trainable_backbone_stages=5)
-        print("No pretrained weights: training all backbone stages "
-              "(freezing random features would stall learning)")
-    cfg = dataclasses.replace(
-        cfg,
-        train=dataclasses.replace(
-            cfg.train, batch_size=batch_size, optimiser=optimiser,
-            alrs_epochs=alrs_epochs, alrs_drops=alrs_drops,
-            alrs_startup_factor=alrs_startup_factor, max_epochs=max_epochs),
-        model=dataclasses.replace(model_cfg, num_classes=len(labels) + 1,
-                                  with_mask=with_mask or cfg.model.with_mask),
-    )
 
     print()
     print("=" * 80)
@@ -139,6 +130,53 @@ def train(project: Project,
     if name is None:
         name = now_as_str()
     output_dir = os.path.join(output_dir, name)
+
+    # A resumed run must rebuild the EXACT architecture/optimizer the
+    # checkpoint was trained with — re-deriving it from this call's
+    # arguments can silently diverge (e.g. run 1 passed --pretrained and
+    # kept the 3-stage freeze; resuming without it would unfreeze the
+    # backbone and the optax.masked opt_state would no longer match).
+    restored = ckpt.load_train_checkpoint(output_dir) if resume else None
+    resumed_model_cfg = False
+    if restored is not None and "model_cfg" in restored:
+        from podtpu.train.checkpoints import model_config_from_dict
+        model_cfg = model_config_from_dict(restored["model_cfg"])
+        resumed_model_cfg = True
+        print("Resuming: model config restored from the checkpoint")
+    elif (pretrained is None and restored is None
+            and model_cfg.trainable_backbone_stages == 3):
+        # torchvision `_validate_trainable_layers` semantics: the 3-stage
+        # freeze exists to protect PRETRAINED early features; without
+        # pretrained weights it would freeze the stem+layer1 at their
+        # RANDOM init, which stalls training (one-stage detectors never
+        # recover from it).  Train the whole backbone instead.  (Legacy
+        # checkpoints without a stored config resume with the old
+        # frozen-3 semantics they were trained under.)
+        model_cfg = dataclasses.replace(model_cfg,
+                                        trainable_backbone_stages=5)
+        print("No pretrained weights: training all backbone stages "
+              "(freezing random features would stall learning)")
+    if resumed_model_cfg:
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, batch_size=batch_size, optimiser=optimiser,
+                alrs_epochs=alrs_epochs, alrs_drops=alrs_drops,
+                alrs_startup_factor=alrs_startup_factor,
+                max_epochs=max_epochs),
+            model=model_cfg)
+    else:
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, batch_size=batch_size, optimiser=optimiser,
+                alrs_epochs=alrs_epochs, alrs_drops=alrs_drops,
+                alrs_startup_factor=alrs_startup_factor,
+                max_epochs=max_epochs),
+            model=dataclasses.replace(
+                model_cfg, num_classes=len(labels) + 1,
+                with_mask=with_mask or cfg.model.with_mask),
+        )
     print("Object detector training (podtpu)")
     print(f"- output directory: {output_dir}")
     project.summary()
@@ -260,7 +298,8 @@ def train(project: Project,
 
     start_epoch = 0
     if resume:
-        restored = ckpt.load_train_checkpoint(output_dir)
+        # `restored` was loaded once, up top (the model config came
+        # from it before the architecture was built).
         if restored is not None:
             state = TrainState(
                 params=restored["params"], frozen=restored["frozen"],
@@ -355,7 +394,7 @@ def train(project: Project,
         # epoch's loss in its buffer.
         should_stop = alrs.step(epoch, epoch_loss)
         ckpt.save_train_checkpoint(output_dir, state, epoch,
-                                   alrs.state_dict())
+                                   alrs.state_dict(), model_cfg=cfg.model)
         if should_stop:
             break
 

@@ -35,6 +35,14 @@ class TestConfig:
         assert len(cfg.anchor_sizes) == 5
         assert abs(cfg.anchor_sizes[0][1] - 32 * 2 ** (1 / 3)) < 1e-6
 
+    def test_incompatible_combos_rejected(self):
+        from podtpu.models.detector import build_model
+
+        with pytest.raises(ValueError, match="retinanet"):
+            build_model(3, family="retinanet", with_mask=True)
+        with pytest.raises(ValueError, match="retinanet"):
+            build_model(3, family="retinanet", backbone="mobilenet_v2")
+
     def test_make_detector_dispatch(self):
         from podtpu.models.detector import make_detector
         from podtpu.models.retinanet import RetinaNet

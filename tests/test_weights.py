@@ -237,6 +237,19 @@ class TestWeightImport:
             saved = json.load(fp)
         assert saved["model"]["trainable_backbone_stages"] == 3
 
+        # Resuming WITHOUT re-passing --pretrained must rebuild the same
+        # architecture/optimizer from the checkpoint's stored config (NOT
+        # auto-unfreeze to 5, which would break the pickled masked
+        # opt_state's pytree structure).
+        out2 = train(project, labels=["particle"],
+                     output_dir=str(tmp_path / "models"), name="pre",
+                     batch_size=2, max_epochs=2, alrs_epochs=2,
+                     alrs_startup_factor=1, config=tiny_config(),
+                     num_workers=2, resume=True)
+        with open(tmp_path / "models" / "pre" / "config.json") as fp:
+            saved2 = json.load(fp)
+        assert saved2["model"]["trainable_backbone_stages"] == 3
+
     def test_forward_runs_with_imported_weights(self, variables):
         sd = make_fake_state_dict(variables)
         out = convert_torchvision_state_dict(sd, variables)
