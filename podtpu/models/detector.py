@@ -23,7 +23,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from podtpu.core.config import ModelConfig

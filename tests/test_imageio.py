@@ -55,10 +55,16 @@ class TestPilToRgb:
         tif = tmp_path / "scan.tif"
         _write_tiff16(str(tif), arr8)
         rgb8 = np.repeat(arr8[..., None], 3, axis=2)
-        dets8 = infer_tiled(rgb8, trained_model, threshold=0.05,
+        # The path branch must recover the 8-bit pixel content exactly
+        # (convert('RGB') would saturate it to white)...
+        np.testing.assert_array_equal(read_rgb(str(tif)), rgb8)
+        # ...and feed it to the detector identically to the array branch
+        # (detection-list equality; the lists may be empty on a grayscale
+        # tile — pixel equality above is the normalisation proof).
+        dets8 = infer_tiled(rgb8, trained_model, threshold=0.0,
                             batch_size=4)
-        dets16 = infer_tiled(str(tif), trained_model, threshold=0.05,
+        dets16 = infer_tiled(str(tif), trained_model, threshold=0.0,
                              batch_size=4)
-        assert len(dets16) == len(dets8) > 0
+        assert len(dets16) == len(dets8)
         for a, b in zip(dets8, dets16):
             assert np.allclose(a.box, b.box, atol=1e-3)

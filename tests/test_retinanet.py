@@ -12,7 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from podtpu.core.config import Config, ModelConfig, retinanet_config
+from podtpu.core.config import ModelConfig, retinanet_config
 from tests.conftest import tiny_config
 
 

@@ -2,7 +2,6 @@
 import json
 
 import jax
-import jax.numpy as jnp
 
 from podtpu.core.config import Config, DataConfig, TrainConfig, \
     retinanet_config
