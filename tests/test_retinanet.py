@@ -266,3 +266,50 @@ class TestRetinaNetWeightImport:
             for k in path.split("/"):
                 node = node[k]
             np.testing.assert_allclose(np.asarray(node), want, rtol=1e-6)
+
+
+class TestPostprocessIndexing:
+    def test_hot_anchor_class_decodes_to_expected_box(self):
+        """Pin the (anchor, class) decomposition of the per-level top-k:
+        a single hot logit at a known anchor/class must come back as a
+        detection at exactly that anchor's decoded box with that label."""
+        from podtpu.models.detector import make_detector
+        from podtpu.ops import boxes as box_ops
+        from podtpu.ops.anchors import grid_anchors
+
+        cfg = micro_retina_cfg()
+        model = make_detector(cfg)
+        anchors = [np.asarray(g) for g in grid_anchors(
+            tuple(cfg.image_size), tuple(cfg.strides),
+            tuple(cfg.anchor_sizes), tuple(cfg.anchor_ratios))]
+        counts = [a.shape[0] for a in anchors]
+        total = sum(counts)
+        c = cfg.num_classes
+        # Hot pick: anchor 37 of level 1, class 2.
+        hot_anchor_l1, hot_class = 37, 2
+        flat_hot = counts[0] + hot_anchor_l1
+        logits = np.full((1, total, c), -20.0, np.float32)
+        logits[0, flat_hot, hot_class] = 8.0  # sigmoid ~ 0.9997
+        deltas = np.zeros((1, total, 4), np.float32)
+        deltas[0, flat_hot] = [0.1, -0.2, 0.05, 0.1]
+
+        # Split back into levels and call the postprocess directly.
+        level_logits, level_deltas, off = [], [], 0
+        for n in counts:
+            level_logits.append(jnp.asarray(logits[:, off:off + n]))
+            level_deltas.append(jnp.asarray(deltas[:, off:off + n]))
+            off += n
+        bound = model.bind({"params": {}, "frozen": {}})
+        det = bound._postprocess(level_logits, level_deltas,
+                                 [jnp.asarray(a) for a in anchors])
+        sc = np.asarray(det.scores[0])
+        assert sc[0] > 0.99
+        assert int(det.labels[0, 0]) == hot_class
+        want = box_ops.clip_boxes(
+            box_ops.decode_boxes(jnp.asarray(deltas[0, flat_hot]),
+                                 jnp.asarray(anchors[1][hot_anchor_l1])),
+            cfg.image_size)
+        np.testing.assert_allclose(np.asarray(det.boxes[0, 0]),
+                                   np.asarray(want), atol=1e-3)
+        # Everything else is below the score threshold.
+        assert int(np.asarray(det.valid[0]).sum()) == 1
