@@ -118,10 +118,13 @@ def cli():
               default="resnet50_fpn", show_default=True,
               help="Detector family: ResNet-50-FPN or the single-map "
                    "MobileNetV2 variant")
-@click.option("--family", type=click.Choice(["faster_rcnn", "retinanet"]),
+@click.option("--family", type=click.Choice(["faster_rcnn", "retinanet",
+                                             "ssd", "ssdlite"]),
               default="faster_rcnn", show_default=True,
-              help="Two-stage Faster R-CNN or one-stage RetinaNet "
-                   "(focal loss)")
+              help="Two-stage Faster R-CNN, one-stage RetinaNet (focal "
+                   "loss), SSD300-VGG16, or SSDLite320-MobileNetV3 (the "
+                   "SSD families use their own 300/320 canvas; "
+                   "--image-size is ignored)")
 @click.option("--test-tasks", type=str, default=None,
               help="Comma-separated CVAT task ids held out for evaluation "
                    "(fixes the reference's same-task random split; default "

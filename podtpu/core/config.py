@@ -106,6 +106,23 @@ class ModelConfig:
     retinanet_topk_per_level: int = 1000
     retinanet_nms_candidates: int = 5000
 
+    # SSD (family='ssd' -> VGG16 @300, family='ssdlite' -> MobileNetV3-Large
+    # @320; the remaining two torchvision-zoo detector families,
+    # `engine/train.py:219-221`).  Default boxes follow torchvision's
+    # ``DefaultBoxGenerator``: per-level scales s_k (len = levels + 1, the
+    # extra entry feeds the last geometric-mean box), per-level aspect-ratio
+    # lists, optional explicit grid steps (ssd300 recipe).  Use
+    # ``ssd_config()`` / ``ssdlite_config()`` for the matched presets.
+    ssd_scales: Tuple[float, ...] = ()
+    ssd_aspect_ratios: Tuple = ()
+    ssd_steps: Tuple[int, ...] = ()
+    # Static (H, W) of each head feature map at `image_size` (computed by
+    # the config helpers; VGG's ceil-mode pooling makes these non-trivial).
+    ssd_feature_shapes: Tuple = ()
+    ssd_iou_thresh: float = 0.5       # SSDMatcher threshold (fg==bg band)
+    ssd_neg_pos_ratio: float = 3.0    # hard-negative mining ratio
+    ssd_topk_per_class: int = 400     # candidates per class before NMS
+
     # Mask head (Mask R-CNN variant; reference `models.py:15-25`)
     with_mask: bool = False
     mask_pool_size: int = 14
@@ -185,6 +202,104 @@ def retinanet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
         anchor_sizes=tuple(
             tuple(s * o for o in octave) for s in (32, 64, 128, 256, 512)),
         **kw)
+
+
+def vgg_ssd_feature_shapes(image_size) -> Tuple[Tuple[int, int], ...]:
+    """Head feature-map shapes of the SSD-VGG16 extractor at a given canvas.
+
+    Mirrors the layer arithmetic of ``podtpu/models/vgg.py``: pool1/2 floor,
+    pool3 CEIL (the torchvision ssd300 tweak), pool4 floor, then the extra
+    blocks (two stride-2 3x3 pad-1 convs, two unpadded 3x3 convs)."""
+    def per_axis(s: int):
+        s1 = s // 2           # pool1
+        s2 = s1 // 2          # pool2
+        s3 = -(-s2 // 2)      # pool3, ceil_mode
+        f0 = s3               # conv4_3 (pool5/fc6/fc7 keep 19x19)
+        f1 = s3 // 2          # pool4
+        f2 = (f1 + 2 - 3) // 2 + 1   # extra1: 3x3 s2 p1
+        f3 = (f2 + 2 - 3) // 2 + 1   # extra2: 3x3 s2 p1
+        f4 = f3 - 2           # extra3: 3x3 s1 p0
+        f5 = f4 - 2           # extra4: 3x3 s1 p0
+        return (f0, f1, f2, f3, f4, f5)
+    hs = per_axis(image_size[0])
+    ws = per_axis(image_size[1])
+    return tuple(zip(hs, ws))
+
+
+def ssd_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's ``ssd300_vgg16``: VGG16 + extra
+    blocks, 6 feature maps, the original SSD paper's scales/steps, Caffe-era
+    normalisation (mean-subtract, x255 scale), score 0.01 / NMS 0.45 /
+    top-200 detections."""
+    base = cfg or ModelConfig()
+    image_size = kw.pop("image_size", (300, 300))
+    steps = (8, 16, 32, 64, 100, 300) if image_size == (300, 300) else ()
+    fields = dict(
+        family="ssd",
+        backbone="vgg16",
+        image_size=image_size,
+        # torchvision ssd300_vgg16 transform: mean [0.48235, 0.45882,
+        # 0.40784], std 1/255 (the Caffe SSD recipe's 0-255 input range).
+        pixel_mean=(0.48235, 0.45882, 0.40784),
+        pixel_std=(1.0 / 255.0,) * 3,
+        ssd_scales=(0.07, 0.15, 0.33, 0.51, 0.69, 0.87, 1.05),
+        ssd_aspect_ratios=((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0),
+                           (2.0,), (2.0,)),
+        ssd_steps=steps,
+        ssd_feature_shapes=vgg_ssd_feature_shapes(image_size),
+        score_thresh=0.01,
+        nms_thresh=0.45,
+        detections_per_image=200,
+    )
+    fields.update(kw)  # explicit caller overrides win
+    return dataclasses.replace(base, **fields)
+
+
+def mobilenet_v3_feature_shapes(image_size) -> Tuple[Tuple[int, int], ...]:
+    """Head feature-map shapes of the SSDLite MobileNetV3 extractor: the
+    C4 expansion tap (stride 16), the stride-32 head, then four stride-2
+    3x3/pad-1 reductions (each ``floor((n - 1) / 2) + 1``)."""
+    def per_axis(s: int):
+        for _ in range(4):  # stem + C1 + C2 + C3
+            s = (s - 1) // 2 + 1
+        shapes = [s]        # C4 expansion tap (stride 16)
+        for _ in range(5):  # C4 dw + 4 extras
+            s = (s - 1) // 2 + 1
+            shapes.append(s)
+        return shapes
+    hs = per_axis(image_size[0])
+    ws = per_axis(image_size[1])
+    return tuple(zip(hs, ws))
+
+
+def ssdlite_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's
+    ``ssdlite320_mobilenet_v3_large``: MobileNetV3-Large split at the C4
+    expansion + depthwise extras, 6-anchor default boxes (scales 0.2-0.95
+    + 1.0, ratios 2 & 3 everywhere), [-1, 1] input normalisation, score
+    0.001 / NMS 0.55 / top-300 detections."""
+    base = cfg or ModelConfig()
+    image_size = kw.pop("image_size", (320, 320))
+    # DefaultBoxGenerator(min_ratio=0.2, max_ratio=0.95): 6 evenly spaced
+    # scales plus the trailing 1.0 for the last geometric-mean box.
+    scales = tuple(0.2 + (0.95 - 0.2) * k / 5.0 for k in range(6)) + (1.0,)
+    fields = dict(
+        family="ssdlite",
+        backbone="mobilenet_v3",
+        image_size=image_size,
+        pixel_mean=(0.5, 0.5, 0.5),
+        pixel_std=(0.5, 0.5, 0.5),
+        ssd_scales=scales,
+        ssd_aspect_ratios=((2.0, 3.0),) * 6,
+        ssd_steps=(),
+        ssd_feature_shapes=mobilenet_v3_feature_shapes(image_size),
+        ssd_topk_per_class=300,
+        score_thresh=0.001,
+        nms_thresh=0.55,
+        detections_per_image=300,
+    )
+    fields.update(kw)  # explicit caller overrides win
+    return dataclasses.replace(base, **fields)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -217,10 +217,15 @@ def make_detector(cfg: ModelConfig):
     """Model family dispatch: the single constructor every entry point
     (train, inference load, tiled rebuild, init proxy) goes through, so a
     saved ``config.json`` reconstructs the right architecture."""
-    if getattr(cfg, "family", "faster_rcnn") == "retinanet":
+    family = getattr(cfg, "family", "faster_rcnn")
+    if family == "retinanet":
         from podtpu.models.retinanet import RetinaNet
 
         return RetinaNet(cfg=cfg)
+    if family in ("ssd", "ssdlite"):
+        from podtpu.models.ssd import SSD
+
+        return SSD(cfg=cfg)
     return FasterRCNN(cfg=cfg)
 
 
@@ -236,23 +241,36 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
     """
     import dataclasses as _dc
 
-    small = _dc.replace(
-        model.cfg,
-        image_size=(init_canvas, init_canvas),
-        rpn_pre_nms_topk_train=64, rpn_pre_nms_topk_test=64,
-        rpn_post_nms_topk_train=64, rpn_post_nms_topk_test=32,
-        box_batch_per_image=8, detections_per_image=4, max_gt_boxes=4,
-        use_pallas_roi_align=False,
-        # Keep the RetinaNet candidate pool under the Pallas NMS dispatch
-        # window too: this init traces on the CPU device while the global
-        # backend may be TPU, and a TPU-lowered pallas_call cannot lower
-        # for CPU.
-        retinanet_topk_per_level=64, retinanet_nms_candidates=128)
+    if model.cfg.family in ("ssd", "ssdlite"):
+        # SSD's unpadded extra convs bottom out below ~272 px, and every
+        # parameter is cheap at its native 300/320 canvas anyway — keep the
+        # real canvas and only shrink the postprocess candidate pool (the
+        # per-class pool must stay under the Pallas NMS dispatch window:
+        # this init traces on the CPU device while the global backend may
+        # be TPU, and a TPU-lowered pallas_call cannot lower for CPU).
+        init_canvas = model.cfg.image_size[0]
+        small = _dc.replace(
+            model.cfg, detections_per_image=4, max_gt_boxes=4,
+            ssd_topk_per_class=8)
+    else:
+        small = _dc.replace(
+            model.cfg,
+            image_size=(init_canvas, init_canvas),
+            rpn_pre_nms_topk_train=64, rpn_pre_nms_topk_test=64,
+            rpn_post_nms_topk_train=64, rpn_post_nms_topk_test=32,
+            box_batch_per_image=8, detections_per_image=4, max_gt_boxes=4,
+            use_pallas_roi_align=False,
+            # Same Pallas-NMS dispatch-window concern for the RetinaNet
+            # candidate pool.
+            retinanet_topk_per_level=64, retinanet_nms_candidates=128)
     proxy = make_detector(small)
 
     def run_init():
         images = jnp.zeros((1, init_canvas, init_canvas, 3), jnp.float32)
-        return proxy.init(rng, images, train=False)
+        # One jitted program instead of eager op-by-op dispatch: eager init
+        # compiles every op individually (~2s each on the CPU backend —
+        # measured 541s for the ~200-op SSD-VGG graph vs 23s jitted).
+        return jax.jit(lambda r: proxy.init(r, images, train=False))(rng)
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -286,16 +304,30 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
     """
     import dataclasses
 
-    from podtpu.core.config import mobilenet_config, retinanet_config
+    from podtpu.core.config import (mobilenet_config, retinanet_config,
+                                    ssd_config, ssdlite_config)
     cfg = cfg or ModelConfig()
     if family == "retinanet" and cfg.family != "retinanet":
         cfg = retinanet_config(cfg)
+    if family == "ssd" and cfg.family != "ssd":
+        cfg = ssd_config(cfg)
+    if family == "ssdlite" and cfg.family != "ssdlite":
+        cfg = ssdlite_config(cfg)
     if cfg.family == "retinanet" and (with_mask or cfg.with_mask
                                       or backbone == "mobilenet_v2"
                                       or cfg.backbone == "mobilenet_v2"):
         raise ValueError(
             "family='retinanet' supports neither with_mask (no RoI stage) "
             "nor the mobilenet_v2 backbone (needs the P3-P7 FPN)")
+    if cfg.family in ("ssd", "ssdlite"):
+        if with_mask or cfg.with_mask:
+            raise ValueError(
+                "family='ssd'/'ssdlite' supports no mask head (SSD has no "
+                "RoI stage; use family='faster_rcnn' with with_mask)")
+        if backbone is not None and backbone != cfg.backbone:
+            raise ValueError(
+                f"family={cfg.family!r} is tied to its backbone "
+                f"({cfg.backbone}); --backbone is not applicable")
     if backbone == "mobilenet_v2" and cfg.backbone != "mobilenet_v2":
         cfg = mobilenet_config(cfg)
     elif backbone is not None and backbone != cfg.backbone:

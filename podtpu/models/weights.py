@@ -173,6 +173,149 @@ def retinanet_key_map() -> Dict[str, Tuple[str, str, callable]]:
     return m
 
 
+def ssd_vgg16_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``ssd300_vgg16`` state_dict -> podtpu SSD paths.
+
+    Layout facts encoded here (``torchvision/models/detection/ssd.py``):
+    the VGG trunk keeps its ``features.{i}`` conv indices through conv4_3
+    (i in 0,2 / 5,7 / 10,12,14 / 17,19,21); ``scale_weight`` is the L2Norm
+    rescale; ``extra.0`` is ``Sequential(maxpool4, conv5_1..3 + ReLUs,
+    fc=Sequential(maxpool5, fc6, ReLU, fc7, ReLU))`` so conv5s sit at
+    ``extra.0.{1,3,5}`` and fc6/fc7 at ``extra.0.7.{1,3}``; extras 1-4 are
+    ``Sequential(1x1, ReLU, 3x3, ReLU)`` (``.{0,2}``); the heads are
+    per-level ``module_list.{k}`` convs.  Also accepts plain ImageNet
+    ``vgg16`` checkpoints (bare ``features.{i}`` keys) for
+    backbone-only init."""
+    m: Dict[str, Tuple[str, str, callable]] = {}
+    trunk = [(0, "conv1_1"), (2, "conv1_2"), (5, "conv2_1"), (7, "conv2_2"),
+             (10, "conv3_1"), (12, "conv3_2"), (14, "conv3_3"),
+             (17, "conv4_1"), (19, "conv4_2"), (21, "conv4_3")]
+    for i, ours in trunk:
+        for tvp in (f"backbone.features.{i}", f"features.{i}"):
+            m[f"{tvp}.weight"] = ("params", f"backbone/{ours}/kernel", _conv)
+            m[f"{tvp}.bias"] = ("params", f"backbone/{ours}/bias", np.asarray)
+    # Plain vgg16 checkpoints continue into conv5 at features.{24,26,28}.
+    for i, ours in [(24, "conv5_1"), (26, "conv5_2"), (28, "conv5_3")]:
+        m[f"features.{i}.weight"] = ("params", f"backbone/{ours}/kernel",
+                                     _conv)
+        m[f"features.{i}.bias"] = ("params", f"backbone/{ours}/bias",
+                                   np.asarray)
+    m["backbone.scale_weight"] = ("params", "backbone/l2norm_scale",
+                                  np.asarray)
+    for i, ours in [(1, "conv5_1"), (3, "conv5_2"), (5, "conv5_3")]:
+        m[f"backbone.extra.0.{i}.weight"] = (
+            "params", f"backbone/{ours}/kernel", _conv)
+        m[f"backbone.extra.0.{i}.bias"] = (
+            "params", f"backbone/{ours}/bias", np.asarray)
+    for i, ours in [(1, "fc6"), (3, "fc7")]:
+        m[f"backbone.extra.0.7.{i}.weight"] = (
+            "params", f"backbone/{ours}/kernel", _conv)
+        m[f"backbone.extra.0.7.{i}.bias"] = (
+            "params", f"backbone/{ours}/bias", np.asarray)
+    for k in range(1, 5):
+        for i, sub in [(0, 1), (2, 2)]:
+            m[f"backbone.extra.{k}.{i}.weight"] = (
+                "params", f"backbone/extra{k}_{sub}/kernel", _conv)
+            m[f"backbone.extra.{k}.{i}.bias"] = (
+                "params", f"backbone/extra{k}_{sub}/bias", np.asarray)
+    for k in range(6):
+        for tvh, ours in (("classification_head", f"cls{k}"),
+                          ("regression_head", f"reg{k}")):
+            m[f"head.{tvh}.module_list.{k}.weight"] = (
+                "params", f"head/{ours}/kernel", _conv)
+            m[f"head.{tvh}.module_list.{k}.bias"] = (
+                "params", f"head/{ours}/bias", np.asarray)
+    return m
+
+
+def ssdlite_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``ssdlite320_mobilenet_v3_large`` state_dict -> podtpu
+    SSDLite paths.
+
+    The extractor splits MobileNetV3-Large at the C4 block
+    (``_mobilenet_extractor``): ``backbone.features.0`` holds the stem
+    (``.0.0``), blocks 1-12 (``.0.{j}.block...``) and block 13's expansion
+    ConvBNAct (``.0.13``); ``backbone.features.1`` holds the REST of block
+    13 as one spliced Sequential (``.1.0.{0,1,2}`` = dw / SE / project),
+    blocks 14-15 (``.1.{1,2}.block...``) and the final 960-channel
+    ConvBNAct (``.1.3``).  Extras are 3x Conv2dNormActivation each; heads
+    are SSDLite separable convs (dw ConvBNAct + 1x1)."""
+    from podtpu.models.mobilenet_v3 import V3_LARGE_SETTINGS
+
+    bn_stats = (("weight", "weight"), ("bias", "bias"),
+                ("running_mean", "mean"), ("running_var", "var"))
+    m: Dict[str, Tuple[str, str, callable]] = {}
+
+    def bn(tv: str, ours: str):
+        for stat, name in bn_stats:
+            m[f"{tv}.{stat}"] = ("frozen", f"{ours}/{name}", np.asarray)
+
+    def cba(tv: str, conv_path: str, bn_path: str):
+        """Conv2dNormActivation: .0 conv (no bias), .1 BN."""
+        m[f"{tv}.0.weight"] = ("params", f"{conv_path}/kernel", _conv)
+        bn(f"{tv}.1", bn_path)
+
+    def se(tv: str, ours: str):
+        for fc in ("fc1", "fc2"):
+            m[f"{tv}.{fc}.weight"] = ("params", f"{ours}/se_{fc}/kernel",
+                                      _conv)
+            m[f"{tv}.{fc}.bias"] = ("params", f"{ours}/se_{fc}/bias",
+                                    np.asarray)
+
+    def inverted_residual(tv: str, ours: str, has_expand: bool,
+                          use_se: bool):
+        i = 0
+        if has_expand:
+            cba(f"{tv}.block.{i}", f"{ours}/expand", f"{ours}/bn_expand")
+            i += 1
+        cba(f"{tv}.block.{i}", f"{ours}/dw", f"{ours}/bn_dw")
+        i += 1
+        if use_se:
+            se(f"{tv}.block.{i}", ours)
+            i += 1
+        cba(f"{tv}.block.{i}", f"{ours}/project", f"{ours}/bn_project")
+
+    cba("backbone.features.0.0", "backbone/stem", "backbone/bn_stem")
+    in_ch = 16
+    for idx, (k, e, c, use_se, a, s) in enumerate(V3_LARGE_SETTINGS,
+                                                  start=1):
+        ours = f"backbone/block{idx}"
+        if idx < 13:
+            inverted_residual(f"backbone.features.0.{idx}", ours,
+                              has_expand=(e != in_ch), use_se=use_se)
+        elif idx == 13:
+            # Split block: expansion in part 0, the rest spliced into
+            # part 1's first Sequential.
+            cba("backbone.features.0.13", f"{ours}/expand",
+                f"{ours}/bn_expand")
+            cba("backbone.features.1.0.0", f"{ours}/dw", f"{ours}/bn_dw")
+            se("backbone.features.1.0.1", ours)
+            cba("backbone.features.1.0.2", f"{ours}/project",
+                f"{ours}/bn_project")
+        else:
+            inverted_residual(f"backbone.features.1.{idx - 13}", ours,
+                              has_expand=(e != in_ch), use_se=use_se)
+        in_ch = c
+    cba("backbone.features.1.3", "backbone/head", "backbone/bn_head")
+    for k in range(1, 5):
+        tv = f"backbone.extra.{k - 1}"
+        ours = f"backbone/extra{k}"
+        cba(f"{tv}.0", f"{ours}_1", f"{ours}_bn1")
+        cba(f"{tv}.1", f"{ours}_dw", f"{ours}_bn2")
+        cba(f"{tv}.2", f"{ours}_2", f"{ours}_bn3")
+    # Heads: module_list.{k} = Sequential(Conv2dNormActivation dw, Conv 1x1).
+    for k in range(6):
+        for tvh, ours in (("classification_head", f"cls{k}"),
+                          ("regression_head", f"reg{k}")):
+            base = f"head.{tvh}.module_list.{k}"
+            cba(f"{base}.0", f"head/{ours}/dw", f"head/{ours}/bn")
+            m[f"{base}.1.weight"] = ("params", f"head/{ours}/pw/kernel",
+                                     _conv)
+            m[f"{base}.1.bias"] = ("params", f"head/{ours}/pw/bias",
+                                   np.asarray)
+    return m
+
+
 def mobilenet_v2_key_map(prefix: str = "backbone") -> Dict[str, Tuple[str, str, callable]]:
     """torchvision ``mobilenet_v2`` state_dict -> podtpu MobileNetV2 paths.
 
@@ -268,8 +411,15 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
 
     out = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
     if key_map is None:
-        if any(k.startswith("features.") for k in state_dict):
+        if "backbone.scale_weight" in state_dict:
+            key_map = ssd_vgg16_key_map()      # ssd300_vgg16 (L2Norm scale)
+        elif any(k.startswith("backbone.features.0.0.0") for k
+                 in state_dict):
+            key_map = ssdlite_key_map()        # split-MobileNetV3 extractor
+        elif any(k.startswith("features.0.0") for k in state_dict):
             key_map = mobilenet_v2_key_map()
+        elif any(k.startswith("features.") for k in state_dict):
+            key_map = ssd_vgg16_key_map()      # plain ImageNet vgg16 trunk
         elif any(k.startswith("head.classification_head") for k
                  in state_dict):
             key_map = retinanet_key_map()

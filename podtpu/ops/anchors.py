@@ -13,6 +13,7 @@ Matches torchvision's semantics: cell anchors are zero-centred boxes of area
 from __future__ import annotations
 
 import functools
+import math
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -75,3 +76,65 @@ def grid_anchors(
 def num_anchors_per_location(aspect_ratios=DEFAULT_RATIOS,
                              sizes_per_level=1) -> int:
     return len(aspect_ratios) * sizes_per_level
+
+
+@functools.lru_cache(maxsize=32)
+def default_boxes(
+    image_size: Tuple[int, int],
+    feature_shapes: Tuple[Tuple[int, int], ...],
+    scales: Tuple[float, ...],
+    aspect_ratios: Tuple[Tuple[float, ...], ...],
+    steps: Tuple[int, ...] = (),
+    clip: bool = True,
+) -> Tuple[np.ndarray, ...]:
+    """SSD default boxes ("priors"), compile-time constants per level.
+
+    TPU-native equivalent of torchvision's ``DefaultBoxGenerator`` (used by
+    the ``ssd300_vgg16`` / ``ssdlite320_mobilenet_v3_large`` zoo models the
+    reference's vendored trainer dispatches to,
+    `miso/object_detection/engine/train.py:219-221`); semantics match it:
+
+    * per level ``k`` the per-location (w, h) pairs are ``(s_k, s_k)``,
+      ``(sqrt(s_k * s_{k+1}),) * 2`` and, for every aspect ratio ``a``,
+      ``(s_k * sqrt(a), s_k / sqrt(a))`` plus its transpose — so
+      ``A_k = 2 + 2 * len(aspect_ratios[k])``;
+    * centres sit at ``(i + 0.5) / f_k`` in normalised coords, where
+      ``f_k`` is the grid size, or ``image_size / steps[k]`` when explicit
+      ``steps`` are given (the ssd300 recipe's fractional grids);
+    * with ``clip`` the normalised (w, h) are clamped to [0, 1] before
+      scaling to pixels (boxes may still hang over the border — parity).
+
+    Returns one ``[Hk*Wk*A_k, 4]`` float32 xyxy array per level, ordered
+    location-major, anchor-minor (matching the head's NHWC flattening).
+    ``scales`` has ``len(feature_shapes) + 1`` entries (the extra one feeds
+    the last level's geometric-mean box).
+    """
+    H, W = image_size
+    out = []
+    for k, (fh, fw) in enumerate(feature_shapes):
+        s_k = scales[k]
+        s_prime = math.sqrt(scales[k] * scales[k + 1])
+        pairs = [(s_k, s_k), (s_prime, s_prime)]
+        for ar in aspect_ratios[k]:
+            sq = math.sqrt(ar)
+            pairs.append((s_k * sq, s_k / sq))
+            pairs.append((s_k / sq, s_k * sq))
+        wh = np.asarray(pairs, dtype=np.float32)  # [A, 2] normalised
+        if clip:
+            wh = np.clip(wh, 0.0, 1.0)
+        if steps:
+            y_f, x_f = H / steps[k], W / steps[k]
+        else:
+            y_f, x_f = float(fh), float(fw)
+        cx = (np.arange(fw, dtype=np.float32) + 0.5) / x_f
+        cy = (np.arange(fh, dtype=np.float32) + 0.5) / y_f
+        sx, sy = np.meshgrid(cx, cy)  # [fh, fw]
+        centers = np.stack([sx, sy], axis=-1).reshape(-1, 1, 2)  # [HW, 1, 2]
+        wh_b = wh[None, :, :]  # [1, A, 2]
+        x1y1 = centers - 0.5 * wh_b
+        x2y2 = centers + 0.5 * wh_b
+        boxes = np.concatenate([x1y1, x2y2], axis=-1).reshape(-1, 4)
+        # Scale normalised coords to pixels: x by W, y by H.
+        boxes *= np.asarray([W, H, W, H], dtype=np.float32)
+        out.append(boxes.astype(np.float32))
+    return tuple(out)

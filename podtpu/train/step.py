@@ -56,7 +56,9 @@ def create_train_state(variables, tx) -> TrainState:
     params = variables["params"]
     return TrainState(
         params=params,
-        frozen=variables["frozen"],
+        # Backbones without FrozenBatchNorm (SSD's VGG16) init no 'frozen'
+        # collection; an empty dict applies cleanly.
+        frozen=variables.get("frozen", {}),
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
     )

@@ -105,6 +105,22 @@ def train(project: Project,
         # reference's vendored trainer exposes, `engine/train.py:219-221`).
         from podtpu.core.config import retinanet_config
         model_cfg = retinanet_config(model_cfg)
+    if family in ("ssd", "ssdlite") and model_cfg.family != family:
+        # The SSD zoo families (`ssd300_vgg16` /
+        # `ssdlite320_mobilenet_v3_large`, `engine/train.py:219-221`) —
+        # note these carry their own native canvas (300 / 320).
+        from podtpu.core.config import ssd_config, ssdlite_config
+        model_cfg = (ssd_config if family == "ssd"
+                     else ssdlite_config)(model_cfg)
+    if model_cfg.family in ("ssd", "ssdlite"):
+        if backbone is not None and backbone != model_cfg.backbone:
+            raise ValueError(
+                f"family={model_cfg.family!r} is tied to its backbone "
+                f"({model_cfg.backbone}); --backbone is not applicable")
+        if with_mask or cfg.model.with_mask:
+            raise ValueError(
+                "with_mask requires family='faster_rcnn' (SSD has no RoI "
+                "stage)")
     if model_cfg.family == "retinanet":
         if backbone == "mobilenet_v2" or model_cfg.backbone == "mobilenet_v2":
             raise ValueError(
