@@ -110,21 +110,31 @@ def cli():
               help="Resume from the last epoch checkpoint if present")
 @click.option("--with-mask", is_flag=True, default=False,
               help="Train a Mask R-CNN head on polygon annotations")
+@click.option("--with-keypoints", is_flag=True, default=False,
+              help="Train a Keypoint R-CNN head (annotations must carry "
+                   "COCO-style keypoint triples, e.g. via import-coco)")
+@click.option("--num-keypoints", type=int, default=17, show_default=True,
+              help="Keypoints per instance (COCO person skeleton = 17)")
 @click.option("--num-devices", type=int, default=None,
               help="Data-parallel device count (default: all accelerator "
                    "devices; batch-size is per device)")
 @click.option("--backbone", type=click.Choice(["resnet50_fpn",
-                                               "mobilenet_v2"]),
-              default="resnet50_fpn", show_default=True,
-              help="Detector family: ResNet-50-FPN or the single-map "
-                   "MobileNetV2 variant")
+                                               "mobilenet_v2",
+                                               "mobilenet_v3_fpn",
+                                               "mobilenet_v3_320_fpn"]),
+              default=None,
+              help="Backbone: ResNet-50-FPN (default), single-map "
+                   "MobileNetV2, or MobileNetV3-Large-FPN (the '320' "
+                   "spelling selects the low-res/low-compute recipe). "
+                   "Only applies to --family faster_rcnn; the SSD "
+                   "families carry their own backbones")
 @click.option("--family", type=click.Choice(["faster_rcnn", "retinanet",
-                                             "ssd", "ssdlite"]),
+                                             "fcos", "ssd", "ssdlite"]),
               default="faster_rcnn", show_default=True,
               help="Two-stage Faster R-CNN, one-stage RetinaNet (focal "
-                   "loss), SSD300-VGG16, or SSDLite320-MobileNetV3 (the "
-                   "SSD families use their own 300/320 canvas; "
-                   "--image-size is ignored)")
+                   "loss), anchor-free FCOS, SSD300-VGG16, or "
+                   "SSDLite320-MobileNetV3 (the SSD families use their own "
+                   "300/320 canvas; --image-size is ignored)")
 @click.option("--test-tasks", type=str, default=None,
               help="Comma-separated CVAT task ids held out for evaluation "
                    "(fixes the reference's same-task random split; default "
@@ -133,7 +143,8 @@ def cli():
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
-                          with_mask, num_devices, backbone, family,
+                          with_mask, with_keypoints, num_keypoints,
+                          num_devices, backbone, family,
                           test_tasks, server, username, password,
                           image_root):
     from podtpu.core.config import Config
@@ -167,7 +178,8 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
           output_dir=output_dir, name=model, batch_size=batch_size,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,
           optimiser=optimiser, config=cfg, pretrained=pretrained,
-          resume=resume, with_mask=with_mask, num_devices=num_devices,
+          resume=resume, with_mask=with_mask, with_keypoints=with_keypoints,
+          num_keypoints=num_keypoints, num_devices=num_devices,
           backbone=backbone, family=family, test_project=test_project)
 
 

@@ -75,6 +75,10 @@ class ModelConfig:
     rpn_batch_per_image: int = 256
     rpn_positive_fraction: float = 0.5
     rpn_min_size: float = 1e-3
+    # Proposal objectness-score floor (sigmoid space) applied before the
+    # RPN NMS.  torchvision default 0.0 (off); the low-compute
+    # ``fasterrcnn_mobilenet_v3_large_320_fpn`` recipe uses 0.05.
+    rpn_score_thresh: float = 0.0
 
     # RoI box head
     roi_pool_size: int = 7
@@ -103,8 +107,17 @@ class ModelConfig:
     retinanet_bg_iou: float = 0.4
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    # Candidate-pool knobs shared by BOTH one-stage pyramid families
+    # (retinanet and fcos — same per-level top-k + merged-pool postprocess).
     retinanet_topk_per_level: int = 1000
     retinanet_nms_candidates: int = 5000
+
+    # FCOS (family='fcos'): anchor-free one-stage detector (torchvision's
+    # ``fcos_resnet50_fpn``, another `engine/train.py:219-221` zoo model).
+    # Each feature-grid point regresses (l, t, r, b) side distances; gt
+    # assignment is centre sampling within `fcos_center_radius * stride`
+    # plus per-level scale ranges (no IoU matching).
+    fcos_center_radius: float = 1.5
 
     # SSD (family='ssd' -> VGG16 @300, family='ssdlite' -> MobileNetV3-Large
     # @320; the remaining two torchvision-zoo detector families,
@@ -130,6 +143,20 @@ class ModelConfig:
     mask_head_channels: int = 256
     # Ground-truth mask bitmaps are rasterized at canvas/mask_gt_stride.
     mask_gt_stride: int = 8
+
+    # Keypoint head (Keypoint R-CNN — torchvision
+    # ``keypointrcnn_resnet50_fpn``, the remaining `engine/train.py:219-221`
+    # zoo family with a distinct head; also closes the reference engine's
+    # third iou_type, `engine/engine.py:65-74` "keypoints").
+    with_keypoints: bool = False
+    num_keypoints: int = 17            # COCO person convention
+    keypoint_pool_size: int = 14
+    keypoint_resolution: int = 56      # pool 14 -> deconv 28 -> bilinear 56
+    keypoint_head_channels: int = 512
+    # Horizontal-flip index permutation (left/right joint swap for the COCO
+    # skeleton).  Empty = identity (no swap) — correct for symmetric or
+    # unordered keypoint sets.
+    keypoint_hflip_inds: Tuple[int, ...] = ()
 
     # Static capacities
     max_gt_boxes: int = 100
@@ -163,9 +190,16 @@ class ModelConfig:
     def roi_strides(self) -> Tuple[int, ...]:
         """Strides of the levels feeding the RoI heads: P2..P5 for the FPN
         model (P6 is RPN-only, torchvision semantics); every level
-        otherwise (single-map backbones)."""
+        otherwise (single-map backbones).
+
+        ``mobilenet_v3_fpn``: torchvision's extractor taps two STRIDE-32
+        maps, so its ``MultiScaleRoIAlign`` scale setup collapses to a
+        single level (k_min == k_max == 5) and every RoI pools from map 0
+        — replicated here by exposing only the first level."""
         if self.backbone == "resnet50_fpn":
             return tuple(self.strides[:4])
+        if self.backbone == "mobilenet_v3_fpn":
+            return (self.strides[0],)
         return tuple(self.strides)
 
 
@@ -189,6 +223,39 @@ def mobilenet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
         **kw)
 
 
+def mobilenet_v3_fpn_config(cfg: "ModelConfig" = None, low_res: bool = False,
+                            **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's
+    ``fasterrcnn_mobilenet_v3_large_fpn`` (and, with ``low_res=True``, the
+    ``..._320_fpn`` variant): MobileNetV3-Large trunk tapped at the C4
+    block output (160ch) and the final conv (960ch) — BOTH stride 32 —
+    plus a stride-2 max-pool third level; 5 sizes x 3 ratios = 15 anchors
+    per location on every level; RoIs all pool from map 0 (see
+    ``ModelConfig.roi_strides``).  The 320 recipe additionally shrinks the
+    canvas and the test-time proposal budget (pre/post NMS top-150) and
+    sets ``rpn_score_thresh=0.05``."""
+    base = cfg or ModelConfig()
+    fields = dict(
+        backbone="mobilenet_v3_fpn",
+        strides=(32, 32, 64),
+        anchor_sizes=((32.0, 64.0, 128.0, 256.0, 512.0),) * 3,
+        anchor_ratios=(0.5, 1.0, 2.0),
+        # The Pallas RoIAlign kernel windows are tuned for the 4-level
+        # 256-channel ResNet FPN; the single-level XLA path is the
+        # validated one here (same policy as mobilenet_config).
+        use_pallas_roi_align=False,
+    )
+    if low_res:
+        fields.update(
+            image_size=(320, 320),
+            rpn_pre_nms_topk_test=150,
+            rpn_post_nms_topk_test=150,
+            rpn_score_thresh=0.05,
+        )
+    fields.update(kw)
+    return dataclasses.replace(base, **fields)
+
+
 def retinanet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
     """A ModelConfig matching torchvision's ``retinanet_resnet50_fpn``:
     P3..P7 pyramid (strides 8..128), 3 octave scales x 3 ratios = 9
@@ -201,6 +268,25 @@ def retinanet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
         strides=(8, 16, 32, 64, 128),
         anchor_sizes=tuple(
             tuple(s * o for o in octave) for s in (32, 64, 128, 256, 512)),
+        **kw)
+
+
+def fcos_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's ``fcos_resnet50_fpn``: P3..P7
+    pyramid (strides 8..128), ONE stride-sized cell box per location (the
+    anchor-free convention — the "anchor" only carries the grid point and
+    the per-level scale), score threshold 0.2, NMS 0.6, 100 detections,
+    1000 candidates per level, centre-sampling radius 1.5."""
+    base = cfg or ModelConfig()
+    return dataclasses.replace(
+        base,
+        family="fcos",
+        strides=(8, 16, 32, 64, 128),
+        anchor_sizes=(8.0, 16.0, 32.0, 64.0, 128.0),
+        anchor_ratios=(1.0,),
+        score_thresh=0.2,
+        nms_thresh=0.6,
+        detections_per_image=100,
         **kw)
 
 

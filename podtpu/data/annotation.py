@@ -85,6 +85,7 @@ class RectangleAnnotation(Annotation):
         track_len=1,
         track_is_keypoint=True,
         shape="rect",
+        keypoints=None,
     ):
         # Positional order mirrors the reference constructor
         # (annotation.py:34-49) so call sites are drop-in compatible.
@@ -100,6 +101,12 @@ class RectangleAnnotation(Annotation):
         self.track_len = track_len
         self.track_is_keypoint = track_is_keypoint
         self.shape = "rect"
+        # Optional instance keypoints: list of (x, y, visibility) triples in
+        # image coordinates (COCO "keypoints" convention; visibility 0 =
+        # unlabelled, 1 = occluded, 2 = visible — inference writes its
+        # heatmap score here instead).  The reference's data model has no
+        # keypoint channel; this feeds the Keypoint R-CNN family.
+        self.keypoints = keypoints
 
     # -- geometry ------------------------------------------------------------
     @property
@@ -148,13 +155,16 @@ class RectangleAnnotation(Annotation):
 
     # -- serialisation -------------------------------------------------------
     def to_dict(self) -> dict:
-        return dict(
+        d = dict(
             shape="rect", x=self.x, y=self.y, width=self.width, height=self.height,
             label=self.label, score=self.score, annotator=self.annotator,
             validator=self.validator, uid=self.uid, frame_id=self.frame_id,
             track_id=self.track_id, track_idx=self.track_idx,
             track_len=self.track_len,
         )
+        if self.keypoints is not None:
+            d["keypoints"] = [list(kp) for kp in self.keypoints]
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "RectangleAnnotation":

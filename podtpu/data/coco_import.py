@@ -55,15 +55,22 @@ def load_coco_json(annotations_json: str, image_root: str,
             continue
         label = cat_by_id.get(ann["category_id"], str(ann["category_id"]))
         seg = ann.get("segmentation")
+        # COCO person_keypoints_*.json: flat [x1, y1, v1, x2, y2, v2, ...]
+        # triples on box annotations (the Keypoint R-CNN training signal).
+        kp = ann.get("keypoints")
+        keypoints = [tuple(kp[i: i + 3]) for i in range(0, len(kp), 3)] \
+            if kp else None
         if isinstance(seg, list) and seg and isinstance(seg[0], list) \
-                and len(seg[0]) >= 6 and not ann.get("iscrowd", 0):
+                and len(seg[0]) >= 6 and not ann.get("iscrowd", 0) \
+                and keypoints is None:
             pts = seg[0]
             meta.add_annotation(PolygonAnnotation(
                 pts[0::2], pts[1::2], label, uid=ann.get("id")))
         else:
             x, y, w, h = ann["bbox"]
             meta.add_annotation(RectangleAnnotation(
-                x, y, w, h, label, uid=ann.get("id")))
+                x, y, w, h, label, uid=ann.get("id"),
+                keypoints=keypoints))
 
     for meta in images.values():
         project.add_image(meta)
@@ -99,6 +106,11 @@ def export_coco_json(project: Project, out_path: str,
                 for px, py in zip(box.xs, box.ys):
                     seg += [float(px), float(py)]
                 ann["segmentation"] = [seg]
+            kp = getattr(box, "keypoints", None)
+            if kp:
+                flat = [float(v) for t in kp for v in t]
+                ann["keypoints"] = flat
+                ann["num_keypoints"] = int(sum(1 for t in kp if t[2] > 0))
             annotations.append(ann)
             ann_id += 1
     payload = {

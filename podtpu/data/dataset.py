@@ -34,6 +34,9 @@ class Sample:
     original_size: Tuple[int, int]  # (h, w)
     index: int
     masks: Optional[np.ndarray] = None  # [G, H/ms, W/ms] float32 bitmaps
+    # [G, K, 3] float32 (x, y, visibility) in canvas coords (Keypoint R-CNN
+    # targets; visibility 0 also marks padded slots).
+    keypoints: Optional[np.ndarray] = None
     # False when the image failed to decode: the sample is a zero canvas
     # with no gt, and the loader folds it into batch_valid so training and
     # evaluation ignore it (the reference skips unreadable images with a
@@ -70,6 +73,8 @@ class DetectionDataset:
         label_names: Optional[Sequence[str]] = None,
         with_masks: bool = False,
         mask_stride: int = 8,
+        with_keypoints: bool = False,
+        num_keypoints: int = 17,
         cache: object = "auto",
         cache_budget_bytes: Optional[int] = None,
     ):
@@ -82,6 +87,12 @@ class DetectionDataset:
         # back to filled boxes).
         self.with_masks = with_masks
         self.mask_stride = mask_stride
+        # Keypoint R-CNN targets: per-gt (x, y, visibility) triples from
+        # annotations carrying a COCO-style ``keypoints`` list; instances
+        # without one get all-invisible rows (they still train the box
+        # head, contribute nothing to the keypoint loss).
+        self.with_keypoints = with_keypoints
+        self.num_keypoints = num_keypoints
         # Label -> 1-based index (background = 0), same convention as the
         # reference (`dataset.py:21`).
         names = list(label_names) if label_names is not None \
@@ -127,7 +138,9 @@ class DetectionDataset:
             valid=np.zeros((g,), bool), scale=1.0, original_size=(ch, cw),
             index=i, ok=False,
             masks=np.zeros((g, mh, mw), np.float32) if self.with_masks
-            else None)
+            else None,
+            keypoints=np.zeros((g, self.num_keypoints, 3), np.float32)
+            if self.with_keypoints else None)
 
     def load(self, i: int) -> Sample:
         if self._cache is not None and i in self._cache:
@@ -180,9 +193,25 @@ class DetectionDataset:
                     masks[j,
                           int(max(y1, 0)): int(min(np.ceil(y2), mh)),
                           int(max(x1, 0)): int(min(np.ceil(x2), mw))] = 1.0
+        keypoints = None
+        if self.with_keypoints:
+            k = self.num_keypoints
+            keypoints = np.zeros((g, k, 3), np.float32)
+            for j, box in enumerate(kept):
+                kp = getattr(box, "keypoints", None)
+                if not kp:
+                    continue
+                arr = np.asarray(kp, np.float32).reshape(-1, 3)[:k]
+                arr = arr.copy()
+                arr[:, :2] *= scale
+                # Points scaled off the canvas become invisible.
+                off = ((arr[:, 0] < 0) | (arr[:, 0] >= cw)
+                       | (arr[:, 1] < 0) | (arr[:, 1] >= ch))
+                arr[off, 2] = 0.0
+                keypoints[j, : arr.shape[0]] = arr
         return Sample(image=canvas, boxes=boxes, labels=labels, valid=valid,
                       scale=scale, original_size=tuple(original_size),
-                      index=i, masks=masks)
+                      index=i, masks=masks, keypoints=keypoints)
 
     def load_batch(self, indices) -> List[Sample]:
         """Batch load; uses the native C++ threaded decode pipeline when
@@ -241,4 +270,6 @@ def collate(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
     }
     if samples[0].masks is not None:
         batch["masks"] = np.stack([s.masks for s in samples])
+    if samples[0].keypoints is not None:
+        batch["keypoints"] = np.stack([s.keypoints for s in samples])
     return batch

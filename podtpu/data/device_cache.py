@@ -29,11 +29,15 @@ DEFAULT_BUDGET = 2 << 30
 
 def dataset_device_bytes(n: int, image_size, max_gt: int,
                          with_masks: bool = False,
-                         mask_stride: int = 8) -> int:
+                         mask_stride: int = 8,
+                         with_keypoints: bool = False,
+                         num_keypoints: int = 17) -> int:
     ch, cw = image_size
     per = ch * cw * 3 + max_gt * (4 * 4 + 4 + 1) + 16
     if with_masks:
         per += max_gt * (ch // mask_stride) * (cw // mask_stride) * 4
+    if with_keypoints:
+        per += max_gt * num_keypoints * 3 * 4
     return n * per
 
 
@@ -42,7 +46,9 @@ def fits(dataset, budget: Optional[int] = None) -> bool:
         int(os.environ.get("PODTPU_DEVICE_CACHE_BYTES", DEFAULT_BUDGET))
     return dataset_device_bytes(
         len(dataset), dataset.image_size, dataset.max_gt,
-        dataset.with_masks, dataset.mask_stride) <= budget
+        dataset.with_masks, dataset.mask_stride,
+        getattr(dataset, "with_keypoints", False),
+        getattr(dataset, "num_keypoints", 17)) <= budget
 
 
 class DeviceDataCache:
@@ -76,6 +82,8 @@ class DeviceDataCache:
                 }
                 if s.masks is not None:
                     rec["masks"] = s.masks
+                if s.keypoints is not None:
+                    rec["keypoints"] = s.keypoints
                 for k, v in rec.items():
                     fields.setdefault(k, [None] * n)[s.index] = v
         self.ok = ok

@@ -17,7 +17,11 @@ the device-side transforms in :mod:`podtpu.ops.image_ops`.
 
 Every policy is a pure function ``(rng, image, boxes, valid) ->
 (image, boxes, valid)`` on the fixed canvas; it runs inside the jitted train
-step and vmaps over the batch.
+step and vmaps over the batch.  Optional per-gt targets ride along: ``masks``
+(bitmaps follow the same geometry) and ``keypoints`` ([G, K, 3] (x, y, v)
+triples — flips mirror the coordinates, with an optional left/right index
+permutation for hflip; geometric policies reuse the boxes' affine and mark
+points that leave the canvas invisible).
 """
 from __future__ import annotations
 
@@ -31,7 +35,22 @@ from podtpu.ops import image_ops as T
 AugmentFn = Callable
 
 
-def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5, masks=None):
+def _flip_kps_h(kps, width, hflip_inds=None):
+    x = width - kps[..., 0]
+    out = jnp.stack([x, kps[..., 1], kps[..., 2]], axis=-1)
+    if hflip_inds is not None and len(hflip_inds):
+        # Left/right joint swap (torchvision's keypoint hflip recipe).
+        out = out[:, jnp.asarray(hflip_inds, jnp.int32), :]
+    return out
+
+
+def _flip_kps_v(kps, height):
+    y = height - kps[..., 1]
+    return jnp.stack([kps[..., 0], y, kps[..., 2]], axis=-1)
+
+
+def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5, masks=None,
+           keypoints=None, kp_hflip_inds=None):
     h, w = image.shape[0], image.shape[1]
     k1, k2 = jax.random.split(rng)
     fimg, fbox = T.hflip(image, boxes, float(w))
@@ -40,74 +59,97 @@ def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5, masks=None):
     boxes = jnp.where(do, fbox, boxes)
     if masks is not None:
         masks = jnp.where(do, masks[:, :, ::-1], masks)
+    if keypoints is not None:
+        keypoints = jnp.where(
+            do, _flip_kps_h(keypoints, float(w), kp_hflip_inds), keypoints)
     fimg, fbox = T.vflip(image, boxes, float(h))
     do = jax.random.uniform(k2) < vflip_prob
     image = jnp.where(do, fimg, image)
     boxes = jnp.where(do, fbox, boxes)
     if masks is not None:
         masks = jnp.where(do, masks[:, ::-1, :], masks)
-    return image, boxes, masks
+    if keypoints is not None:
+        keypoints = jnp.where(do, _flip_kps_v(keypoints, float(h)),
+                              keypoints)
+    return image, boxes, masks, keypoints
 
 
-def miso_policy(rng, image, boxes, valid, masks=None, distort=True):
+def miso_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+                distort=True, kp_hflip_inds=None):
     k1, k2 = jax.random.split(rng)
-    image, boxes, masks = _flips(k1, image, boxes, masks=masks)
+    image, boxes, masks, keypoints = _flips(
+        k1, image, boxes, masks=masks, keypoints=keypoints,
+        kp_hflip_inds=kp_hflip_inds)
     if distort:
         image = T.photometric_distort(k2, image)
-    return image, boxes, valid, masks
+    return image, boxes, valid, masks, keypoints
 
 
-def hflip_policy(rng, image, boxes, valid, masks=None):
-    image, boxes, masks = _flips(rng, image, boxes, vflip_prob=0.0,
-                                 masks=masks)
-    return image, boxes, valid, masks
+def hflip_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+                 kp_hflip_inds=None):
+    image, boxes, masks, keypoints = _flips(
+        rng, image, boxes, vflip_prob=0.0, masks=masks, keypoints=keypoints,
+        kp_hflip_inds=kp_hflip_inds)
+    return image, boxes, valid, masks, keypoints
 
 
-def lsj_policy(rng, image, boxes, valid, masks=None):
+def lsj_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+               kp_hflip_inds=None):
     k1, k2 = jax.random.split(rng)
-    image, boxes, masks = T.scale_jitter(k1, image, boxes, (0.1, 2.0),
-                                         masks=masks)
-    image, boxes, masks = _flips(k2, image, boxes, vflip_prob=0.0,
-                                 masks=masks)
-    return image, boxes, _revalidate(boxes, valid), masks
+    image, boxes, masks, keypoints = T.scale_jitter(
+        k1, image, boxes, (0.1, 2.0), masks=masks, keypoints=keypoints)
+    image, boxes, masks, keypoints = _flips(
+        k2, image, boxes, vflip_prob=0.0, masks=masks, keypoints=keypoints,
+        kp_hflip_inds=kp_hflip_inds)
+    return image, boxes, _revalidate(boxes, valid), masks, keypoints
 
 
-def multiscale_policy(rng, image, boxes, valid, masks=None):
+def multiscale_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+                      kp_hflip_inds=None):
     k1, k2 = jax.random.split(rng)
-    image, boxes, masks = T.scale_jitter(k1, image, boxes, (0.5, 1.25),
-                                         masks=masks)
-    image, boxes, masks = _flips(k2, image, boxes, vflip_prob=0.0,
-                                 masks=masks)
-    return image, boxes, _revalidate(boxes, valid), masks
+    image, boxes, masks, keypoints = T.scale_jitter(
+        k1, image, boxes, (0.5, 1.25), masks=masks, keypoints=keypoints)
+    image, boxes, masks, keypoints = _flips(
+        k2, image, boxes, vflip_prob=0.0, masks=masks, keypoints=keypoints,
+        kp_hflip_inds=kp_hflip_inds)
+    return image, boxes, _revalidate(boxes, valid), masks, keypoints
 
 
-def ssd_policy(rng, image, boxes, valid, masks=None):
+def ssd_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+               kp_hflip_inds=None):
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     image = T.photometric_distort(k1, image)
     do_zoom = jax.random.uniform(k2) < 0.5
-    zimg, zbox, zmask = T.zoom_out(k3, image, boxes, masks=masks)
+    zimg, zbox, zmask, zkp = T.zoom_out(k3, image, boxes, masks=masks,
+                                        keypoints=keypoints)
     image = jnp.where(do_zoom, zimg, image)
     boxes = jnp.where(do_zoom, zbox, boxes)
     if masks is not None:
         masks = jnp.where(do_zoom, zmask, masks)
-    image, boxes, valid, masks = T.iou_crop(k4, image, boxes, valid,
-                                            masks=masks)
-    image, boxes, masks = _flips(k5, image, boxes, vflip_prob=0.0,
-                                 masks=masks)
-    return image, boxes, _revalidate(boxes, valid), masks
+    if keypoints is not None:
+        keypoints = jnp.where(do_zoom, zkp, keypoints)
+    image, boxes, valid, masks, keypoints = T.iou_crop(
+        k4, image, boxes, valid, masks=masks, keypoints=keypoints)
+    image, boxes, masks, keypoints = _flips(
+        k5, image, boxes, vflip_prob=0.0, masks=masks, keypoints=keypoints,
+        kp_hflip_inds=kp_hflip_inds)
+    return image, boxes, _revalidate(boxes, valid), masks, keypoints
 
 
-def ssdlite_policy(rng, image, boxes, valid, masks=None):
+def ssdlite_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+                   kp_hflip_inds=None):
     k1, k2 = jax.random.split(rng)
-    image, boxes, valid, masks = T.iou_crop(k1, image, boxes, valid,
-                                            masks=masks)
-    image, boxes, masks = _flips(k2, image, boxes, vflip_prob=0.0,
-                                 masks=masks)
-    return image, boxes, _revalidate(boxes, valid), masks
+    image, boxes, valid, masks, keypoints = T.iou_crop(
+        k1, image, boxes, valid, masks=masks, keypoints=keypoints)
+    image, boxes, masks, keypoints = _flips(
+        k2, image, boxes, vflip_prob=0.0, masks=masks, keypoints=keypoints,
+        kp_hflip_inds=kp_hflip_inds)
+    return image, boxes, _revalidate(boxes, valid), masks, keypoints
 
 
-def none_policy(rng, image, boxes, valid, masks=None):
-    return image, boxes, valid, masks
+def none_policy(rng, image, boxes, valid, masks=None, keypoints=None,
+                kp_hflip_inds=None):
+    return image, boxes, valid, masks, keypoints
 
 
 def _revalidate(boxes, valid):
@@ -137,17 +179,32 @@ def get_policy(name: str) -> AugmentFn:
 
 
 def augment_batch_policy(policy: AugmentFn, rng, images, boxes, valid,
-                         masks=None, **kw):
+                         masks=None, keypoints=None, **kw):
     """vmap a per-image policy over the batch.
 
-    Returns (images, boxes, valid, masks) — masks is None when not given.
+    Returns (images, boxes, valid, masks, keypoints) — masks/keypoints are
+    None when not given.
     """
     rngs = jax.random.split(rng, images.shape[0])
-    if masks is None:
+    if masks is None and keypoints is None:
         out = jax.vmap(
-            lambda r, i, b, v: policy(r, i, b, v, masks=None, **kw)[:3])(
+            lambda r, i, b, v: policy(r, i, b, v, masks=None,
+                                      keypoints=None, **kw)[:3])(
             rngs, images, boxes, valid)
+        return out + (None, None)
+    if keypoints is None:
+        out = jax.vmap(
+            lambda r, i, b, v, m: policy(r, i, b, v, masks=m,
+                                         keypoints=None, **kw)[:4])(
+            rngs, images, boxes, valid, masks)
         return out + (None,)
+    if masks is None:
+        i_, b_, v_, _, k_ = jax.vmap(
+            lambda r, i, b, v, k: policy(r, i, b, v, masks=None,
+                                         keypoints=k, **kw))(
+            rngs, images, boxes, valid, keypoints)
+        return i_, b_, v_, None, k_
     return jax.vmap(
-        lambda r, i, b, v, m: policy(r, i, b, v, masks=m, **kw))(
-        rngs, images, boxes, valid, masks)
+        lambda r, i, b, v, m, k: policy(r, i, b, v, masks=m, keypoints=k,
+                                        **kw))(
+        rngs, images, boxes, valid, masks, keypoints)

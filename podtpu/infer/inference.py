@@ -77,9 +77,10 @@ def _run_inference(project: Project, model_dir: str,
     out.task_names = dict(project.task_names)
     for batch, batch_valid in loader:
         result = eval_step(params, frozen, batch["image"])
-        det, res_masks = split_eval_output(result)
+        det, res_masks, res_kps = split_eval_output(result)
         has_masks = res_masks is not None
         dt_masks = np.asarray(res_masks) if has_masks else None
+        dt_kps = np.asarray(res_kps) if res_kps is not None else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -105,6 +106,16 @@ def _run_inference(project: Project, model_dir: str,
                         float(b[0]), float(b[1]),
                         float(b[2] - b[0]), float(b[3] - b[1]),
                         model_labels[int(l) - 1], score=float(s))
+                if dt_kps is not None and isinstance(
+                        ann, RectangleAnnotation):
+                    # Keypoint models attach (x, y, score) triples in
+                    # original-image coordinates (the CVAT rectangle
+                    # upload has no keypoint channel; the data rides the
+                    # annotation object for crop/export consumers).
+                    kp = dt_kps[i][j].copy()
+                    kp[:, :2] /= scale
+                    ann.keypoints = [tuple(float(v) for v in row)
+                                     for row in kp]
                 meta.boxes.append(ann)
             out.add_image(meta)
     return out

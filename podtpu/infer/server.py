@@ -140,7 +140,7 @@ class DetectionServer:
         for i, req in enumerate(batch):
             images[i] = req.canvas
         out = self.eval_step(self.params, self.frozen, images)
-        det, out_masks = split_eval_output(out)
+        det, out_masks, _ = split_eval_output(out)
         masks = np.asarray(out_masks) if out_masks is not None else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)

@@ -169,7 +169,7 @@ def infer_tiled(
             batch[bi, : sub.shape[0], : sub.shape[1]] = sub
             extents.append((sub.shape[0], sub.shape[1]))
         result = eval_step(params, frozen, batch)
-        det, out_masks = split_eval_output(result)
+        det, out_masks, _ = split_eval_output(result)
         masks = np.asarray(out_masks) if out_masks is not None else None
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)

@@ -50,6 +50,18 @@ class FasterRCNN(nn.Module):
                 name="backbone")
             self.fpn = None
             rpn_channels = OUT_CHANNELS
+        elif cfg.backbone == "mobilenet_v3_fpn":
+            # torchvision ``fasterrcnn_mobilenet_v3_large_fpn`` extractor:
+            # two stride-32 taps (C4 block 160ch + final conv 960ch) into
+            # an FPN with a max-pool third level (see mobilenet_v3_fpn_config).
+            from podtpu.models.mobilenet_v3 import MobileNetV3FPN
+
+            self.backbone = MobileNetV3FPN(
+                dtype=dtype, trainable_stages=cfg.trainable_backbone_stages,
+                name="backbone")
+            self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
+                           first_level=0, name="fpn")
+            rpn_channels = cfg.fpn_channels
         elif cfg.backbone == "resnet50_fpn":
             self.backbone = ResNet(
                 stage_sizes=(3, 4, 6, 3), dtype=dtype,
@@ -69,6 +81,11 @@ class FasterRCNN(nn.Module):
             self.mask_head = rh.MaskHead(
                 num_classes=cfg.num_classes, channels=cfg.mask_head_channels,
                 dtype=dtype, name="mask_head")
+        if cfg.with_keypoints:
+            self.keypoint_head = rh.KeypointHead(
+                num_keypoints=cfg.num_keypoints,
+                channels=cfg.keypoint_head_channels,
+                dtype=dtype, name="keypoint_head")
 
     def _anchors(self):
         cfg = self.cfg
@@ -157,6 +174,9 @@ class FasterRCNN(nn.Module):
             if cfg.with_mask and "masks" in (gt or {}):
                 losses["loss_mask"] = self._mask_losses(box_levels, sampled,
                                                         gt, img_w)
+            if cfg.with_keypoints and "keypoints" in (gt or {}):
+                losses["loss_keypoint"] = self._keypoint_losses(
+                    box_levels, sampled, gt, img_w)
             return losses
 
         # ---- inference ----------------------------------------------------
@@ -174,6 +194,8 @@ class FasterRCNN(nn.Module):
         if cfg.with_mask:
             masks = self._predict_masks(box_levels, out)
             return out, masks
+        if cfg.with_keypoints:
+            return out, self._predict_keypoints(box_levels, out)
         return out
 
     def _mask_losses(self, box_levels, sampled, gt, img_w=None):
@@ -200,6 +222,37 @@ class FasterRCNN(nn.Module):
             return losses.mean()
         return (losses * img_w).sum() / jnp.maximum(img_w.sum(), 1.0)
 
+    def _keypoint_losses(self, box_levels, sampled, gt, img_w=None):
+        """CE heatmap loss on positive RoIs (torchvision
+        ``keypointrcnn_loss`` — keypoint proposals are the box head's
+        sampled positives)."""
+        cfg = self.cfg
+        b, s = sampled.boxes.shape[:2]
+        pooled = rh.pool_rois_batched(box_levels, sampled.boxes, cfg,
+                                      pool_size=cfg.keypoint_pool_size)
+        kp_logits = self.keypoint_head(
+            pooled.reshape(b * s, *pooled.shape[2:]))
+        kp_logits = kp_logits.reshape(b, s, *kp_logits.shape[1:])
+
+        def per_image(kl, rois, gkp):
+            return rh.keypoint_loss(kl, rois, gkp)
+
+        losses = jax.vmap(per_image)(kp_logits, sampled, gt["keypoints"])
+        if img_w is None:
+            return losses.mean()
+        return (losses * img_w).sum() / jnp.maximum(img_w.sum(), 1.0)
+
+    def _predict_keypoints(self, box_levels, det: rh.Detections):
+        """Per-detection keypoints ``[B, D, K, 3]`` (x, y, score)."""
+        cfg = self.cfg
+        b = det.boxes.shape[0]
+        pooled = rh.pool_rois_batched(box_levels, det.boxes, cfg,
+                                      pool_size=cfg.keypoint_pool_size)
+        d = pooled.shape[1]
+        kl = self.keypoint_head(pooled.reshape(b * d, *pooled.shape[2:]))
+        kl = kl.reshape(b, d, *kl.shape[1:])  # [B, D, H, H, K]
+        return jax.vmap(rh.heatmaps_to_keypoints)(kl, det.boxes)
+
     def _predict_masks(self, box_levels, det: rh.Detections):
         cfg = self.cfg
         b = det.boxes.shape[0]
@@ -222,6 +275,10 @@ def make_detector(cfg: ModelConfig):
         from podtpu.models.retinanet import RetinaNet
 
         return RetinaNet(cfg=cfg)
+    if family == "fcos":
+        from podtpu.models.fcos import FCOS
+
+        return FCOS(cfg=cfg)
     if family in ("ssd", "ssdlite"):
         from podtpu.models.ssd import SSD
 
@@ -288,6 +345,8 @@ def init_variables(model: FasterRCNN, rng, init_canvas: int = 128):
 
 def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
                 with_mask: bool = False,
+                with_keypoints: bool = False,
+                num_keypoints: int = 17,
                 backbone: Optional[str] = None,
                 family: Optional[str] = None) -> Tuple[nn.Module, ModelConfig]:
     """Model factory mirroring the reference's
@@ -304,21 +363,32 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
     """
     import dataclasses
 
-    from podtpu.core.config import (mobilenet_config, retinanet_config,
-                                    ssd_config, ssdlite_config)
+    from podtpu.core.config import (fcos_config, mobilenet_config,
+                                    retinanet_config, ssd_config,
+                                    ssdlite_config)
     cfg = cfg or ModelConfig()
     if family == "retinanet" and cfg.family != "retinanet":
         cfg = retinanet_config(cfg)
+    if family == "fcos" and cfg.family != "fcos":
+        cfg = fcos_config(cfg)
     if family == "ssd" and cfg.family != "ssd":
         cfg = ssd_config(cfg)
     if family == "ssdlite" and cfg.family != "ssdlite":
         cfg = ssdlite_config(cfg)
-    if cfg.family == "retinanet" and (with_mask or cfg.with_mask
-                                      or backbone == "mobilenet_v2"
-                                      or cfg.backbone == "mobilenet_v2"):
+    if cfg.family in ("retinanet", "fcos") and (
+            with_mask or cfg.with_mask or with_keypoints
+            or cfg.with_keypoints
+            or (backbone is not None and backbone != "resnet50_fpn")
+            or cfg.backbone != "resnet50_fpn"):
         raise ValueError(
-            "family='retinanet' supports neither with_mask (no RoI stage) "
-            "nor the mobilenet_v2 backbone (needs the P3-P7 FPN)")
+            f"family={cfg.family!r} supports neither with_mask/"
+            "with_keypoints (no RoI stage) nor non-ResNet backbones "
+            "(needs the P3-P7 FPN)")
+    if cfg.family in ("ssd", "ssdlite") and (with_keypoints
+                                             or cfg.with_keypoints):
+        raise ValueError(
+            "with_keypoints requires family='faster_rcnn' (SSD has no "
+            "RoI stage)")
     if cfg.family in ("ssd", "ssdlite"):
         if with_mask or cfg.with_mask:
             raise ValueError(
@@ -330,8 +400,19 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
                 f"({cfg.backbone}); --backbone is not applicable")
     if backbone == "mobilenet_v2" and cfg.backbone != "mobilenet_v2":
         cfg = mobilenet_config(cfg)
+    elif backbone in ("mobilenet_v3_fpn", "mobilenet_v3_320_fpn") \
+            and cfg.backbone != "mobilenet_v3_fpn":
+        # torchvision fasterrcnn_mobilenet_v3_large_fpn / ..._320_fpn
+        # (the "320" spelling selects the low-res recipe preset).
+        from podtpu.core.config import mobilenet_v3_fpn_config
+        cfg = mobilenet_v3_fpn_config(
+            cfg, low_res=(backbone == "mobilenet_v3_320_fpn"))
     elif backbone is not None and backbone != cfg.backbone:
         cfg = dataclasses.replace(cfg, backbone=backbone)
-    cfg = dataclasses.replace(cfg, num_classes=num_classes,
-                              with_mask=with_mask or cfg.with_mask)
+    cfg = dataclasses.replace(
+        cfg, num_classes=num_classes,
+        with_mask=with_mask or cfg.with_mask,
+        with_keypoints=with_keypoints or cfg.with_keypoints,
+        num_keypoints=(num_keypoints if with_keypoints
+                       else cfg.num_keypoints))
     return make_detector(cfg), cfg

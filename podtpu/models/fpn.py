@@ -46,12 +46,17 @@ class FPN(nn.Module):
             conv(self.out_channels, 1, f"lateral{i + f0}")(c)
             for i, c in enumerate(inputs)
         ]
-        # Top-down pathway: upsample coarse and add.
+        # Top-down pathway: resize coarse to the lateral's grid and add.
+        # torchvision interpolates to the lateral's size: one stride apart
+        # -> nearest 2x upsample; same stride (the MobileNetV3-FPN
+        # extractor's two stride-32 taps) -> identity.
         tops = [laterals[-1]]
         for lat in laterals[-2::-1]:
-            up = upsample_nearest_2x(tops[-1])
-            # Defensive crop if odd sizes ever appear (canvas /64 avoids it).
-            up = up[:, : lat.shape[1], : lat.shape[2], :]
+            up = tops[-1]
+            if up.shape[1] != lat.shape[1] or up.shape[2] != lat.shape[2]:
+                up = upsample_nearest_2x(up)
+                # Defensive crop if odd sizes appear (canvas /64 avoids it).
+                up = up[:, : lat.shape[1], : lat.shape[2], :]
             tops.append(lat + up)
         tops = tops[::-1]  # fine -> coarse
 

@@ -128,6 +128,56 @@ class InvertedResidualV3(nn.Module):
         return y
 
 
+class MobileNetV3FPN(nn.Module):
+    """MobileNetV3-Large trunk with the two FPN taps of torchvision's
+    ``fasterrcnn_mobilenet_v3_large_fpn`` extractor (``_mobilenet_extractor``
+    with fpn=True, returned_layers=[4, 5]): the C4 block's OUTPUT
+    (``features[13]``, 160 channels, stride 32) and the final 1x1 conv
+    output (``features[16]``, 960 channels, stride 32).  Both taps share
+    stride 32 — that is torchvision's actual (degenerate) geometry; the
+    FPN's top-down step between them is a same-size add and the third RPN
+    level is a stride-2 max-pool.
+
+    ``trainable_stages`` freeze units match :class:`MobileNetV3SSDLite`.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+    trainable_stages: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = x.astype(self.dtype)
+        kw = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+        freeze_from = 5 - self.trainable_stages
+
+        h = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    name="stem", **kw)(x)
+        h = hardswish(FrozenBatchNorm(16, dtype=self.dtype,
+                                      name="bn_stem")(h))
+
+        boundaries = {1: 0, 3: 1, 6: 2, 12: 3}
+        c13 = None
+        for idx, (k, e, c, se, a, s) in enumerate(V3_LARGE_SETTINGS,
+                                                  start=1):
+            h = InvertedResidualV3(
+                kernel=k, expanded=e, out_ch=c, use_se=se, act=a, stride=s,
+                dtype=self.dtype, name=f"block{idx}")(h)
+            if idx == C4_BLOCK:
+                c13 = h  # 160-channel stride-32 tap (features[13] output)
+            if boundaries.get(idx, 99) < freeze_from:
+                h = jax.lax.stop_gradient(h)
+                if idx == C4_BLOCK:
+                    c13 = jax.lax.stop_gradient(c13)
+
+        h = nn.Conv(960, (1, 1), name="head", **kw)(h)
+        h = hardswish(FrozenBatchNorm(960, dtype=self.dtype,
+                                      name="bn_head")(h))
+        if 4 < freeze_from:
+            h = jax.lax.stop_gradient(h)
+            c13 = jax.lax.stop_gradient(c13)
+        return (c13, h)
+
+
 class MobileNetV3SSDLite(nn.Module):
     """MobileNetV3-Large trunk + SSDLite extras: 6 feature maps.
 

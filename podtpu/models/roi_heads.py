@@ -72,6 +72,109 @@ class MaskHead(nn.Module):
         return x.astype(jnp.float32)  # [K, 2*pool, 2*pool, C]
 
 
+class KeypointHead(nn.Module):
+    """8x conv512 + deconv + 2x bilinear upsample -> per-keypoint heatmap
+    logits (torchvision ``KeypointRCNNHeads`` + ``KeypointRCNNPredictor``).
+
+    14x14 pooled features -> 8 relu convs -> ConvTranspose(4x4, s2, p1) to
+    28x28 -> bilinear (half-pixel / align_corners=False) 2x to 56x56, one
+    channel per keypoint.
+    """
+
+    num_keypoints: int
+    channels: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        x = pooled.astype(self.dtype)
+        for i in range(8):
+            x = nn.relu(nn.Conv(self.channels, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                name=f"conv{i + 1}", **kw)(x))
+        # torch ConvTranspose2d(k=4, s=2, p=1): out = 2*in.  Flax pads the
+        # DILATED input, so torch's p maps to k-1-p = 2 per side (layout +
+        # numerics verified vs torch in tests/test_keypoints.py).
+        x = nn.ConvTranspose(self.num_keypoints, (4, 4), strides=(2, 2),
+                             padding=[(2, 2), (2, 2)], name="deconv",
+                             **kw)(x)
+        x = x.astype(jnp.float32)
+        n, h, w, k = x.shape
+        # Bilinear x2, half-pixel sampling (torch interpolate
+        # align_corners=False).
+        x = jax.image.resize(x, (n, 2 * h, 2 * w, k), method="linear")
+        return x  # [N, 4*pool, 4*pool, K] heatmap logits
+
+
+def keypoints_to_heatmap(kps: jnp.ndarray, rois: jnp.ndarray,
+                         heatmap_size: int):
+    """Discretise gt keypoints into per-RoI heatmap cells (torchvision
+    ``keypoints_to_heatmap``): returns ``(lin_index [S, K] int32,
+    valid [S, K] bool)`` — valid means visible AND inside the RoI."""
+    x1, y1 = rois[:, 0:1], rois[:, 1:2]
+    sx = heatmap_size / jnp.maximum(rois[:, 2:3] - x1, 1e-6)
+    sy = heatmap_size / jnp.maximum(rois[:, 3:4] - y1, 1e-6)
+    x = jnp.floor((kps[..., 0] - x1) * sx).astype(jnp.int32)
+    y = jnp.floor((kps[..., 1] - y1) * sy).astype(jnp.int32)
+    # Boundary rule: a keypoint exactly on the far edge lands in the last
+    # cell (torchvision's x == heatmap_size special case).
+    x = jnp.where(x == heatmap_size, heatmap_size - 1, x)
+    y = jnp.where(y == heatmap_size, heatmap_size - 1, y)
+    inside = (x >= 0) & (y >= 0) & (x < heatmap_size) & (y < heatmap_size)
+    valid = inside & (kps[..., 2] > 0)
+    lin = jnp.clip(y * heatmap_size + x, 0, heatmap_size * heatmap_size - 1)
+    return lin, valid
+
+
+def keypoint_loss(
+    kp_logits: jnp.ndarray,    # [S, H, H, K] heatmap logits
+    rois: SampledRois,
+    gt_keypoints: jnp.ndarray,  # [G, K, 3] canvas coords + visibility
+    sample_weight: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Cross-entropy over heatmap cells for visible keypoints of positive
+    RoIs (torchvision ``keypointrcnn_loss``: mean CE over valid keypoints).
+    """
+    s, h, _, k = kp_logits.shape
+    kps = gt_keypoints[rois.gt_index]           # [S, K, 3]
+    target, valid = keypoints_to_heatmap(kps, rois.boxes, h)
+    w = valid & rois.is_pos[:, None] & rois.valid[:, None]
+    w = w.astype(jnp.float32)
+    if sample_weight is not None:
+        w = w * sample_weight[:, None]
+    logits = kp_logits.reshape(s, h * h, k)
+    logits = jnp.swapaxes(logits, 1, 2).reshape(s * k, h * h)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target.reshape(s * k, 1), axis=1)[:, 0]
+    return jnp.sum(ce * w.reshape(-1)) / jnp.maximum(w.sum(), 1.0)
+
+
+def heatmaps_to_keypoints(kp_logits: jnp.ndarray,
+                          rois: jnp.ndarray) -> jnp.ndarray:
+    """Heatmap argmax -> image-space keypoints ``[D, K, 3]`` (x, y, score).
+
+    Static-shape counterpart of torchvision's ``heatmaps_to_keypoints``:
+    the cell centre maps back through the RoI scale (torchvision bicubically
+    resizes the heatmap to the RoI first — sub-cell precision this skips;
+    at heatmap 56 the quantisation is w/112 px).  Score is the softmax
+    probability at the argmax cell.
+    """
+    d, h, _, k = kp_logits.shape
+    flat = jnp.swapaxes(kp_logits.reshape(d, h * h, k), 1, 2)  # [D, K, HH]
+    idx = jnp.argmax(flat, axis=-1)                            # [D, K]
+    prob = jax.nn.softmax(flat, axis=-1)
+    score = jnp.take_along_axis(prob, idx[..., None], axis=-1)[..., 0]
+    yi = (idx // h).astype(jnp.float32) + 0.5
+    xi = (idx % h).astype(jnp.float32) + 0.5
+    x1, y1 = rois[:, 0:1], rois[:, 1:2]
+    w = jnp.maximum(rois[:, 2:3] - x1, 1e-6)
+    hgt = jnp.maximum(rois[:, 3:4] - y1, 1e-6)
+    x = x1 + xi * w / h
+    y = y1 + yi * hgt / h
+    return jnp.stack([x, y, score], axis=-1)
+
+
 class SampledRois(NamedTuple):
     boxes: jnp.ndarray        # [S, 4]
     valid: jnp.ndarray        # [S]

@@ -93,6 +93,13 @@ def select_proposals(
                 deltas[idx].astype(jnp.float32), anchors[idx])
             boxes = box_ops.clip_boxes(boxes, (h, w))
             ok = box_ops.small_box_mask(boxes, cfg.rpn_min_size)
+            if cfg.rpn_score_thresh > 0.0:
+                # torchvision GeneralizedRCNN rpn_score_thresh: drop
+                # low-objectness proposals before NMS (the 320_fpn
+                # recipe's 0.05).  Compare in logit space.
+                import math as _math
+                t = float(cfg.rpn_score_thresh)
+                ok &= top_scores > _math.log(t / (1.0 - t))
             cand_boxes.append(boxes)
             cand_scores.append(top_scores)
             cand_valid.append(ok)

@@ -121,6 +121,18 @@ def torchvision_key_map() -> Dict[str, Tuple[str, str, callable]]:
         "params", "mask_head/logits/kernel", _conv)
     m["roi_heads.mask_predictor.mask_fcn_logits.bias"] = (
         "params", "mask_head/logits/bias", np.asarray)
+    # Keypoint head (keypointrcnn_resnet50_fpn): KeypointRCNNHeads is a
+    # Sequential of 8 (conv, relu) pairs -> convs at even indices; the
+    # predictor is one ConvTranspose2d(4x4, s2, p1).
+    for i in range(8):
+        m[f"roi_heads.keypoint_head.{2 * i}.weight"] = (
+            "params", f"keypoint_head/conv{i + 1}/kernel", _conv)
+        m[f"roi_heads.keypoint_head.{2 * i}.bias"] = (
+            "params", f"keypoint_head/conv{i + 1}/bias", np.asarray)
+    m["roi_heads.keypoint_predictor.kps_score_lowres.weight"] = (
+        "params", "keypoint_head/deconv/kernel", _deconv)
+    m["roi_heads.keypoint_predictor.kps_score_lowres.bias"] = (
+        "params", "keypoint_head/deconv/bias", np.asarray)
     return m
 
 
@@ -168,6 +180,57 @@ def retinanet_key_map() -> Dict[str, Tuple[str, str, callable]]:
     for tvn, ours in (("head.classification_head.cls_logits",
                        "head/cls_logits"),
                       ("head.regression_head.bbox_reg", "head/box_deltas")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    return m
+
+
+def fcos_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``fcos_resnet50_fpn`` state_dict -> podtpu FCOS paths.
+
+    Same ResNet trunk + C3..C5 FPN + p6/p7 extras as the RetinaNet map;
+    the heads are plain ``nn.Sequential(conv, GroupNorm, ReLU)`` towers
+    (conv at index 3i, GroupNorm at 3i+1 — torchvision
+    ``FCOSClassificationHead``/``FCOSRegressionHead``), ending in
+    ``cls_logits`` / ``bbox_reg`` + ``bbox_ctrness``.  GroupNorm
+    weight/bias map to flax scale/bias (both live in 'params')."""
+    m: Dict[str, Tuple[str, str, callable]] = {}
+    bb = "backbone.body"
+    m[f"{bb}.conv1.weight"] = ("params", "backbone/conv1/kernel", _conv)
+    for stat, ours in (("weight", "weight"), ("bias", "bias"),
+                       ("running_mean", "mean"), ("running_var", "var")):
+        m[f"{bb}.bn1.{stat}"] = ("frozen", f"backbone/bn1/{ours}", np.asarray)
+    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+        m.update(_bottleneck_names(f"{bb}.layer{stage}",
+                                   f"backbone/layer{stage}", blocks))
+    for i in range(3):
+        for tvn, ours in ((f"backbone.fpn.inner_blocks.{i}",
+                           f"fpn/lateral{i + 3}"),
+                          (f"backbone.fpn.layer_blocks.{i}",
+                           f"fpn/post{i + 3}")):
+            for cand in (tvn, f"{tvn}.0"):
+                m[f"{cand}.weight"] = ("params", f"{ours}/kernel", _conv)
+                m[f"{cand}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    for tvn, ours in (("backbone.fpn.extra_blocks.p6", "fpn/p6"),
+                      ("backbone.fpn.extra_blocks.p7", "fpn/p7")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    for i in range(4):
+        for tvh, ours in (("classification_head", "cls"),
+                          ("regression_head", "box")):
+            base = f"head.{tvh}.conv"
+            m[f"{base}.{3 * i}.weight"] = (
+                "params", f"head/{ours}_conv{i}/kernel", _conv)
+            m[f"{base}.{3 * i}.bias"] = (
+                "params", f"head/{ours}_conv{i}/bias", np.asarray)
+            m[f"{base}.{3 * i + 1}.weight"] = (
+                "params", f"head/{ours}_gn{i}/scale", np.asarray)
+            m[f"{base}.{3 * i + 1}.bias"] = (
+                "params", f"head/{ours}_gn{i}/bias", np.asarray)
+    for tvn, ours in (("head.classification_head.cls_logits",
+                       "head/cls_logits"),
+                      ("head.regression_head.bbox_reg", "head/box_deltas"),
+                      ("head.regression_head.bbox_ctrness", "head/ctrness")):
         m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
         m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
     return m
@@ -316,6 +379,79 @@ def ssdlite_key_map() -> Dict[str, Tuple[str, str, callable]]:
     return m
 
 
+def fasterrcnn_mobilenet_v3_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``fasterrcnn_mobilenet_v3_large_fpn`` (and ``_320_fpn``)
+    state_dict -> podtpu paths.
+
+    Unlike the SSDLite extractor, the trunk is NOT split: the body is the
+    plain ``features`` sequential (``backbone.body.0.0`` stem conv,
+    ``backbone.body.{i}.block...`` inverted residuals, ``backbone.body.16``
+    final ConvBNAct).  The FPN has two levels (inner/layer blocks 0-1 ->
+    our lateral0/post0, lateral1/post1; the max-pool extra has no params);
+    RPN and RoI heads use the standard Faster R-CNN spellings."""
+    from podtpu.models.mobilenet_v3 import V3_LARGE_SETTINGS
+
+    bn_stats = (("weight", "weight"), ("bias", "bias"),
+                ("running_mean", "mean"), ("running_var", "var"))
+    m: Dict[str, Tuple[str, str, callable]] = {}
+
+    def bn(tv: str, ours: str):
+        for stat, name in bn_stats:
+            m[f"{tv}.{stat}"] = ("frozen", f"{ours}/{name}", np.asarray)
+
+    def cba(tv: str, conv_path: str, bn_path: str):
+        m[f"{tv}.0.weight"] = ("params", f"{conv_path}/kernel", _conv)
+        bn(f"{tv}.1", bn_path)
+
+    def se(tv: str, ours: str):
+        for fc in ("fc1", "fc2"):
+            m[f"{tv}.{fc}.weight"] = ("params", f"{ours}/se_{fc}/kernel",
+                                      _conv)
+            m[f"{tv}.{fc}.bias"] = ("params", f"{ours}/se_{fc}/bias",
+                                    np.asarray)
+
+    body = "backbone.body"
+    cba(f"{body}.0.0", "backbone/stem", "backbone/bn_stem")
+    in_ch = 16
+    for idx, (k, e, c, use_se, a, s) in enumerate(V3_LARGE_SETTINGS,
+                                                  start=1):
+        tv = f"{body}.{idx}.block"
+        ours = f"backbone/block{idx}"
+        i = 0
+        if e != in_ch:
+            cba(f"{tv}.{i}", f"{ours}/expand", f"{ours}/bn_expand")
+            i += 1
+        cba(f"{tv}.{i}", f"{ours}/dw", f"{ours}/bn_dw")
+        i += 1
+        if use_se:
+            se(f"{tv}.{i}", ours)
+            i += 1
+        cba(f"{tv}.{i}", f"{ours}/project", f"{ours}/bn_project")
+        in_ch = c
+    cba(f"{body}.16.0", "backbone/head", "backbone/bn_head")
+    for i in range(2):
+        for tvn, ours in ((f"backbone.fpn.inner_blocks.{i}",
+                           f"fpn/lateral{i}"),
+                          (f"backbone.fpn.layer_blocks.{i}",
+                           f"fpn/post{i}")):
+            for cand in (tvn, f"{tvn}.0"):
+                m[f"{cand}.weight"] = ("params", f"{ours}/kernel", _conv)
+                m[f"{cand}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    for tvn, ours in (("rpn.head.conv", "rpn_head/conv"),
+                      ("rpn.head.conv.0.0", "rpn_head/conv"),
+                      ("rpn.head.cls_logits", "rpn_head/objectness"),
+                      ("rpn.head.bbox_pred", "rpn_head/deltas")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    for tvn, ours in (("roi_heads.box_head.fc6", "box_head/fc6"),
+                      ("roi_heads.box_head.fc7", "box_head/fc7"),
+                      ("roi_heads.box_predictor.cls_score", "box_head/cls"),
+                      ("roi_heads.box_predictor.bbox_pred", "box_head/reg")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _dense)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    return m
+
+
 def mobilenet_v2_key_map(prefix: str = "backbone") -> Dict[str, Tuple[str, str, callable]]:
     """torchvision ``mobilenet_v2`` state_dict -> podtpu MobileNetV2 paths.
 
@@ -420,6 +556,12 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
             key_map = mobilenet_v2_key_map()
         elif any(k.startswith("features.") for k in state_dict):
             key_map = ssd_vgg16_key_map()      # plain ImageNet vgg16 trunk
+        elif "head.regression_head.bbox_ctrness.weight" in state_dict:
+            key_map = fcos_key_map()           # ctrness branch = FCOS
+        elif any(k.startswith("backbone.body.0.0") for k in state_dict):
+            # Unsplit MobileNetV3 body = fasterrcnn_mobilenet_v3_large_fpn
+            # (the ResNet body spells its stem "backbone.body.conv1").
+            key_map = fasterrcnn_mobilenet_v3_key_map()
         elif any(k.startswith("head.classification_head") for k
                  in state_dict):
             key_map = retinanet_key_map()

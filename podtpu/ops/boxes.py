@@ -94,6 +94,67 @@ def decode_boxes(codes: jnp.ndarray, anchors: jnp.ndarray,
         [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1)
 
 
+def encode_boxes_linear(anchors: jnp.ndarray, boxes: jnp.ndarray,
+                        normalize_by_size: bool = True) -> jnp.ndarray:
+    """Linear (distance) box coder: targets are the (l, t, r, b) distances
+    from the anchor CENTRE to the four sides of ``boxes``, optionally
+    normalised by the anchor width/height.
+
+    Matches torchvision's ``BoxLinearCoder(normalize_by_size=True)`` — the
+    coder of the anchor-free FCOS family, where "anchors" are the
+    stride-sized cell boxes whose centres are the feature-grid points.
+    Paired (elementwise) semantics: ``anchors`` and ``boxes`` broadcast
+    against each other on the leading axes.
+    """
+    acx, acy, aw, ah = box_center_size(anchors)
+    l = acx - boxes[..., 0]
+    t = acy - boxes[..., 1]
+    r = boxes[..., 2] - acx
+    b = boxes[..., 3] - acy
+    codes = jnp.stack([l, t, r, b], axis=-1)
+    if normalize_by_size:
+        size = jnp.stack([aw, ah, aw, ah], axis=-1)
+        codes = codes / jnp.maximum(size, 1e-6)
+    return codes
+
+
+def decode_boxes_linear(codes: jnp.ndarray, anchors: jnp.ndarray,
+                        normalize_by_size: bool = True) -> jnp.ndarray:
+    """Invert :func:`encode_boxes_linear`: (l, t, r, b) distances from the
+    anchor centre back to xyxy corners."""
+    acx, acy, aw, ah = box_center_size(anchors)
+    if normalize_by_size:
+        size = jnp.stack([aw, ah, aw, ah], axis=-1)
+        codes = codes * size
+    return jnp.stack([acx - codes[..., 0], acy - codes[..., 1],
+                      acx + codes[..., 2], acy + codes[..., 3]], axis=-1)
+
+
+def elementwise_giou(a: jnp.ndarray, b: jnp.ndarray,
+                     eps: float = 1e-7) -> jnp.ndarray:
+    """Paired generalised IoU between ``[..., 4]`` xyxy boxes → ``[...]``.
+
+    Matches torchvision's ``generalized_box_iou_loss`` value (the loss is
+    ``1 - giou``).  ``eps``-guarded divisions keep the value AND gradient
+    finite on degenerate (zero-area) boxes — loss call sites mask invalid
+    slots by multiplication, which does not stop NaN propagation.
+    """
+    ix = (jnp.minimum(a[..., 2], b[..., 2])
+          - jnp.maximum(a[..., 0], b[..., 0]))
+    iy = (jnp.minimum(a[..., 3], b[..., 3])
+          - jnp.maximum(a[..., 1], b[..., 1]))
+    inter = jnp.clip(ix, 0.0) * jnp.clip(iy, 0.0)
+    union = box_area(a) + box_area(b) - inter
+    iou = inter / (union + eps)
+    # Smallest enclosing box.
+    ex = (jnp.maximum(a[..., 2], b[..., 2])
+          - jnp.minimum(a[..., 0], b[..., 0]))
+    ey = (jnp.maximum(a[..., 3], b[..., 3])
+          - jnp.minimum(a[..., 1], b[..., 1]))
+    enclose = ex * ey
+    return iou - (enclose - union) / (enclose + eps)
+
+
 def clip_boxes(boxes: jnp.ndarray, image_size) -> jnp.ndarray:
     """Clip xyxy boxes to ``[0, W] x [0, H]``. ``image_size`` is (H, W)."""
     h, w = image_size

@@ -168,11 +168,23 @@ def scale_and_place_masks(masks: jnp.ndarray, scale, tx, ty,
         method="linear", antialias=False)
 
 
+def scale_and_place_keypoints(kps: jnp.ndarray, scale, tx, ty,
+                              image_h: int, image_w: int) -> jnp.ndarray:
+    """Apply the same geometric transform to ``[G, K, 3]`` (x, y, v)
+    keypoints; points leaving the canvas become invisible (v=0)."""
+    x = kps[..., 0] * scale + tx
+    y = kps[..., 1] * scale + ty
+    inside = (x >= 0) & (x < image_w) & (y >= 0) & (y < image_h)
+    v = kps[..., 2] * inside.astype(kps.dtype)
+    return jnp.stack([x, y, v], axis=-1)
+
+
 def scale_jitter(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
-                 scale_range: Tuple[float, float] = (0.1, 2.0), masks=None):
+                 scale_range: Tuple[float, float] = (0.1, 2.0), masks=None,
+                 keypoints=None):
     """Large-scale jitter (the reference's ScaleJitter,
     engine/transforms.py:311-361): random global rescale on the fixed
-    canvas; boxes (and masks) follow; boxes clip."""
+    canvas; boxes (and masks/keypoints) follow; boxes clip."""
     h, w = image.shape[0], image.shape[1]
     s = jax.random.uniform(rng, (), minval=scale_range[0],
                            maxval=scale_range[1])
@@ -183,11 +195,14 @@ def scale_jitter(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     y2 = jnp.clip(bxs[..., 3], 0, h)
     if masks is not None:
         masks = scale_and_place_masks(masks, s, 0.0, 0.0, h, w)
-    return img, jnp.stack([x1, y1, x2, y2], axis=-1), masks
+    if keypoints is not None:
+        keypoints = scale_and_place_keypoints(keypoints, s, 0.0, 0.0, h, w)
+    return img, jnp.stack([x1, y1, x2, y2], axis=-1), masks, keypoints
 
 
 def zoom_out(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
-             side_range: Tuple[float, float] = (1.0, 4.0), masks=None):
+             side_range: Tuple[float, float] = (1.0, 4.0), masks=None,
+             keypoints=None):
     """Random zoom-out (the reference's RandomZoomOut,
     engine/transforms.py:188-248): shrink the content by 1/r and place it at
     a random offset on the canvas (zero fill)."""
@@ -201,11 +216,14 @@ def zoom_out(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     img, bxs = scale_and_place(image, boxes, s, tx, ty)
     if masks is not None:
         masks = scale_and_place_masks(masks, s, tx, ty, h, w)
-    return img, bxs, masks
+    if keypoints is not None:
+        keypoints = scale_and_place_keypoints(keypoints, s, tx, ty, h, w)
+    return img, bxs, masks, keypoints
 
 
 def iou_crop(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
-             valid: jnp.ndarray, trials: int = 20, masks=None):
+             valid: jnp.ndarray, trials: int = 20, masks=None,
+             keypoints=None):
     """SSD-style jaccard-constrained random crop (the reference's
     RandomIoUCrop, engine/transforms.py:101-185), vectorised: sample
     ``trials`` candidate crops, keep the first whose IoU with some gt box
@@ -257,7 +275,10 @@ def iou_crop(rng: jax.Array, image: jnp.ndarray, boxes: jnp.ndarray,
     if masks is not None:
         masks = scale_and_place_masks(masks, scale, tx, ty,
                                       image.shape[0], image.shape[1])
-    return img, nboxes, keep & valid, masks
+    if keypoints is not None:
+        keypoints = scale_and_place_keypoints(
+            keypoints, scale, tx, ty, image.shape[0], image.shape[1])
+    return img, nboxes, keep & valid, masks, keypoints
 
 
 def copy_paste_batch(rng: jax.Array, images: jnp.ndarray,

@@ -58,6 +58,8 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
     policy = get_policy(cfg.data.aug_policy)
     policy_kw = {"distort": cfg.data.photometric_distort} \
         if cfg.data.aug_policy == "miso" else {}
+    if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
+        policy_kw["kp_hflip_inds"] = tuple(cfg.model.keypoint_hflip_inds)
 
     def per_shard(state: TrainState, batch: Dict, rng: jax.Array, lr):
         # Distinct augmentation / sampler streams per shard.
@@ -68,16 +70,20 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         images, boxes, labels, valid, masks = (
             images_to_float(batch["image"]), batch["boxes"],
             batch["labels"], batch["valid"], batch.get("masks"))
+        keypoints = batch.get("keypoints")
         if cfg.data.copy_paste:
             from podtpu.ops.image_ops import copy_paste_batch
             rng_cp, rng_aug = jax.random.split(rng_aug)
             images, boxes, labels, valid, masks = copy_paste_batch(
                 rng_cp, images, boxes, labels, valid, masks)
-        images, boxes, valid, masks = augment_batch_policy(
-            policy, rng_aug, images, boxes, valid, masks=masks, **policy_kw)
+        images, boxes, valid, masks, keypoints = augment_batch_policy(
+            policy, rng_aug, images, boxes, valid, masks=masks,
+            keypoints=keypoints, **policy_kw)
         gt = {"boxes": boxes, "labels": labels, "valid": valid}
         if masks is not None:
             gt["masks"] = masks
+        if keypoints is not None:
+            gt["keypoints"] = keypoints
         if "image_weight" in batch:
             gt["image_weight"] = batch["image_weight"]
 

@@ -31,12 +31,13 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
     """
     evaluator = COCOEvaluator(num_classes=num_classes)
     segm_eval = None
+    kp_eval = None
     model_time = 0.0
     n_images = 0
     for batch, batch_valid in loader:
         t0 = time.time()
         out = eval_step(params, frozen, batch["image"])
-        det, out_masks = split_eval_output(out)
+        det, out_masks, out_kps = split_eval_output(out)
         has_masks = out_masks is not None
         det_np = {
             "boxes": np.asarray(det.boxes),
@@ -50,6 +51,12 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
             if segm_eval is None:
                 segm_eval = COCOEvaluator(num_classes=num_classes,
                                           iou_type="segm")
+        do_kps = out_kps is not None and "keypoints" in batch
+        if do_kps:
+            dt_kps = np.asarray(out_kps)  # [B, D, K, 3] (x, y, score)
+            if kp_eval is None:
+                kp_eval = COCOEvaluator(num_classes=num_classes,
+                                        iou_type="keypoints")
         model_time += time.time() - t0
         for i, ok in enumerate(batch_valid):
             if not ok:
@@ -81,6 +88,19 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
                     gt_masks=gm, dt_masks=dm,
                     area_scale=(stride / scale) ** 2,
                 )
+            if do_kps:
+                gkp = batch["keypoints"][i][gv].astype(np.float64).copy()
+                gkp[:, :, :2] /= scale
+                dkp = dt_kps[i][dv].astype(np.float64).copy()
+                dkp[:, :, :2] /= scale
+                kp_eval.update(
+                    gt_boxes=batch["boxes"][i][gv] / scale,
+                    gt_labels=batch["labels"][i][gv],
+                    dt_boxes=det_np["boxes"][i][dv] / scale,
+                    dt_scores=det_np["scores"][i][dv],
+                    dt_labels=det_np["labels"][i][dv],
+                    gt_keypoints=gkp, dt_keypoints=dkp,
+                )
             n_images += 1
     # Multi-host DP: every process evaluated its shard of the test set;
     # merge match results across processes before accumulating (the
@@ -88,9 +108,9 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
     import jax
     if jax.process_count() > 1:
         from podtpu.parallel.host import allgather_pickled
-        gathered = allgather_pickled((evaluator, segm_eval))
+        gathered = allgather_pickled((evaluator, segm_eval, kp_eval))
         me = jax.process_index()
-        for i, (ev, sg) in enumerate(gathered):
+        for i, (ev, sg, kp) in enumerate(gathered):
             if i == me:
                 continue
             evaluator.merge_from(ev)
@@ -102,9 +122,16 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
                     segm_eval = sg
                 else:
                     segm_eval.merge_from(sg)
+            if kp is not None:
+                if kp_eval is None:
+                    kp_eval = kp
+                else:
+                    kp_eval.merge_from(kp)
     stats = evaluator.summarize()
     evaluator.segm = segm_eval
     evaluator.segm_stats = segm_eval.summarize() if segm_eval else None
+    evaluator.keypoints = kp_eval
+    evaluator.keypoints_stats = kp_eval.summarize() if kp_eval else None
     if verbose and is_main_process():
         print(f"Evaluated {n_images} images "
               f"(model time {model_time:.2f}s)")
@@ -113,4 +140,7 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
         if segm_eval is not None:
             print("IoU metric: segm")
             print(segm_eval.summary_text())
+        if kp_eval is not None:
+            print("IoU metric: keypoints")
+            print(kp_eval.summary_text())
     return evaluator, stats

@@ -33,16 +33,23 @@ def images_to_float(images: jnp.ndarray) -> jnp.ndarray:
 
 
 def split_eval_output(out):
-    """``(Detections, masks | None)`` from an eval-step result.
+    """``(Detections, masks | None, keypoints | None)`` from an eval-step
+    result.
 
-    Mask models return ``(Detections, masks)``; box models return the
+    Mask models return ``(Detections, masks [B, D, M, M])``; keypoint
+    models ``(Detections, keypoints [B, D, K, 3])``; box models the
     ``Detections`` NamedTuple alone.  The single probe every consumer
     (evaluate / infer / tiled / server) goes through, so a change to the
-    eval-step return shape has exactly one place to update."""
+    eval-step return shape has exactly one place to update.  The two
+    4-d extras are told apart by the trailing axis: keypoints end in
+    (x, y, score) triples, mask grids are square and >= 14."""
     if hasattr(out, "boxes"):
-        return out, None
-    det, masks = out
-    return det, masks
+        return out, None, None
+    det, extra = out
+    if extra.ndim == 4 and extra.shape[-1] == 3 \
+            and extra.shape[-2] != extra.shape[-1]:
+        return det, None, extra
+    return det, extra, None
 
 
 class TrainState(NamedTuple):
@@ -72,6 +79,8 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
     policy = get_policy(cfg.data.aug_policy)
     policy_kw = {"distort": cfg.data.photometric_distort} \
         if cfg.data.aug_policy == "miso" else {}
+    if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
+        policy_kw["kp_hflip_inds"] = tuple(cfg.model.keypoint_hflip_inds)
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
                 lr: jnp.ndarray):
@@ -79,16 +88,20 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
         images, boxes, labels, valid, masks = (
             images_to_float(batch["image"]), batch["boxes"],
             batch["labels"], batch["valid"], batch.get("masks"))
+        keypoints = batch.get("keypoints")
         if cfg.data.copy_paste:
             rng_cp, rng_aug = jax.random.split(rng_aug)
             from podtpu.ops.image_ops import copy_paste_batch
             images, boxes, labels, valid, masks = copy_paste_batch(
                 rng_cp, images, boxes, labels, valid, masks)
-        images, boxes, valid, masks = augment_batch_policy(
-            policy, rng_aug, images, boxes, valid, masks=masks, **policy_kw)
+        images, boxes, valid, masks, keypoints = augment_batch_policy(
+            policy, rng_aug, images, boxes, valid, masks=masks,
+            keypoints=keypoints, **policy_kw)
         gt = {"boxes": boxes, "labels": labels, "valid": valid}
         if masks is not None:
             gt["masks"] = masks
+        if keypoints is not None:
+            gt["keypoints"] = keypoints
         if "image_weight" in batch:
             gt["image_weight"] = batch["image_weight"]
 

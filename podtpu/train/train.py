@@ -66,6 +66,8 @@ def train(project: Project,
           seed: int = 0,
           num_workers: int = 4,
           with_mask: bool = False,
+          with_keypoints: bool = False,
+          num_keypoints: int = 17,
           num_devices: Optional[int] = None,
           backbone: Optional[str] = None,
           family: Optional[str] = None,
@@ -105,6 +107,11 @@ def train(project: Project,
         # reference's vendored trainer exposes, `engine/train.py:219-221`).
         from podtpu.core.config import retinanet_config
         model_cfg = retinanet_config(model_cfg)
+    if family == "fcos" and model_cfg.family != "fcos":
+        # Anchor-free one-stage family (torchvision `fcos_resnet50_fpn`,
+        # same zoo dispatch).
+        from podtpu.core.config import fcos_config
+        model_cfg = fcos_config(model_cfg)
     if family in ("ssd", "ssdlite") and model_cfg.family != family:
         # The SSD zoo families (`ssd300_vgg16` /
         # `ssdlite320_mobilenet_v3_large`, `engine/train.py:219-221`) —
@@ -121,21 +128,33 @@ def train(project: Project,
             raise ValueError(
                 "with_mask requires family='faster_rcnn' (SSD has no RoI "
                 "stage)")
-    if model_cfg.family == "retinanet":
-        if backbone == "mobilenet_v2" or model_cfg.backbone == "mobilenet_v2":
+    if model_cfg.family in ("retinanet", "fcos"):
+        if (backbone not in (None, "resnet50_fpn")
+                or model_cfg.backbone != "resnet50_fpn"):
             raise ValueError(
-                "family='retinanet' requires the ResNet-50-FPN backbone "
-                "(its P3-P7 pyramid and 9-anchor head don't fit the "
-                "single-map MobileNetV2 layout)")
+                f"family={model_cfg.family!r} requires the ResNet-50-FPN "
+                "backbone (its P3-P7 pyramid head doesn't fit other "
+                "backbone layouts)")
         if with_mask or cfg.model.with_mask:
             raise ValueError(
                 "with_mask requires family='faster_rcnn' (the Mask R-CNN "
-                "head pools RoIs; RetinaNet has no RoI stage)")
+                f"head pools RoIs; {model_cfg.family} has no RoI stage)")
+    if (with_keypoints or cfg.model.with_keypoints) \
+            and model_cfg.family not in ("faster_rcnn",):
+        raise ValueError(
+            "with_keypoints requires family='faster_rcnn' (the keypoint "
+            "head pools RoIs — torchvision keypointrcnn_resnet50_fpn)")
     if backbone == "mobilenet_v2" and model_cfg.backbone != "mobilenet_v2":
         # The reference's second detector family (MobileNetV2 single-map
         # Faster R-CNN, `miso/instance_segmentation/training.py:7-36`).
         from podtpu.core.config import mobilenet_config
         model_cfg = mobilenet_config(model_cfg)
+    elif backbone in ("mobilenet_v3_fpn", "mobilenet_v3_320_fpn") \
+            and model_cfg.backbone != "mobilenet_v3_fpn":
+        # torchvision fasterrcnn_mobilenet_v3_large_fpn / ..._320_fpn.
+        from podtpu.core.config import mobilenet_v3_fpn_config
+        model_cfg = mobilenet_v3_fpn_config(
+            model_cfg, low_res=(backbone == "mobilenet_v3_320_fpn"))
     elif backbone is not None:
         model_cfg = dataclasses.replace(model_cfg, backbone=backbone)
 
@@ -191,7 +210,10 @@ def train(project: Project,
                 max_epochs=max_epochs),
             model=dataclasses.replace(
                 model_cfg, num_classes=len(labels) + 1,
-                with_mask=with_mask or cfg.model.with_mask),
+                with_mask=with_mask or cfg.model.with_mask,
+                with_keypoints=with_keypoints or cfg.model.with_keypoints,
+                num_keypoints=(num_keypoints if with_keypoints
+                               else cfg.model.num_keypoints)),
         )
     print("Object detector training (podtpu)")
     print(f"- output directory: {output_dir}")
@@ -204,6 +226,8 @@ def train(project: Project,
                                 label_names=labels,
                                 with_masks=cfg.model.with_mask,
                                 mask_stride=cfg.model.mask_gt_stride,
+                                with_keypoints=cfg.model.with_keypoints,
+                                num_keypoints=cfg.model.num_keypoints,
                                 cache=cfg.data.decode_cache)
 
     dataset = make_ds(project)
@@ -430,4 +454,7 @@ def train(project: Project,
         if getattr(final_eval, "segm_stats", None) is not None:
             ckpt.save_results(output_dir, final_eval.segm_stats, STAT_NAMES,
                               filename="results_segm.txt")
+        if getattr(final_eval, "keypoints_stats", None) is not None:
+            ckpt.save_results(output_dir, final_eval.keypoints_stats,
+                              STAT_NAMES, filename="results_keypoints.txt")
     return output_dir

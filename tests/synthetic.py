@@ -52,11 +52,15 @@ def make_project(
     max_boxes: int = 3,
     seed: int = 0,
     polygons: bool = False,
+    keypoints: bool = False,
 ) -> Project:
     """Write JPEGs under ``root`` and return a Project referencing them.
 
     With ``polygons=True`` annotations are PolygonAnnotations tracing the
-    drawn ellipses (exercising the Mask R-CNN target path).
+    drawn ellipses (exercising the Mask R-CNN target path).  With
+    ``keypoints=True`` each box carries 5 visible COCO-style keypoint
+    triples — the ellipse centre and its 4 axis extremes (the Keypoint
+    R-CNN target path).
     """
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -76,6 +80,13 @@ def make_project(
             draw_particle(img, x, y, bw, bh, palette[li % len(palette)])
             if polygons:
                 meta.add_annotation(ellipse_polygon(x, y, bw, bh, labels[li]))
+            elif keypoints:
+                cx, cy = x + bw / 2, y + bh / 2
+                kps = [(cx, cy, 2.0),
+                       (x + 1.0, cy, 2.0), (x + bw - 1.0, cy, 2.0),
+                       (cx, y + 1.0, 2.0), (cx, y + bh - 1.0, 2.0)]
+                meta.add_annotation(RectangleAnnotation(
+                    x, y, bw, bh, labels[li], keypoints=kps))
             else:
                 meta.add_annotation(
                     RectangleAnnotation(x, y, bw, bh, labels[li]))

@@ -1,0 +1,356 @@
+"""Keypoint R-CNN family (podtpu/models/roi_heads.py::KeypointHead).
+
+Covers torchvision's ``keypointrcnn_resnet50_fpn`` — the last
+torchvision-zoo detector with a distinct head that the reference's vendored
+trainer dispatches to (`engine/train.py:219-221`), and the reference
+engine's third COCO iou_type (`engine/engine.py:65-74` "keypoints").
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import tiny_config
+
+
+def micro_kp_cfg():
+    base = tiny_config().model
+    return dataclasses.replace(
+        base, num_classes=2, with_keypoints=True, num_keypoints=5,
+        detections_per_image=8)
+
+
+class TestHeatmapCodec:
+    def test_roundtrip_center(self):
+        """A keypoint at a known spot encodes to the expected heatmap cell
+        and decodes back within one cell width."""
+        from podtpu.models.roi_heads import (heatmaps_to_keypoints,
+                                             keypoints_to_heatmap)
+
+        rois = jnp.asarray([[10.0, 20.0, 66.0, 76.0]])  # 56x56 box
+        kps = jnp.asarray([[[38.0, 48.0, 2.0],       # centre of the box
+                            [10.0, 20.0, 2.0],       # top-left corner
+                            [100.0, 100.0, 2.0],     # outside -> invalid
+                            [30.0, 30.0, 0.0]]])     # invisible -> invalid
+        lin, valid = keypoints_to_heatmap(kps, rois, 56)
+        assert bool(valid[0, 0]) and bool(valid[0, 1])
+        assert not bool(valid[0, 2]) and not bool(valid[0, 3])
+        # centre (38, 48) -> cell (28, 28) -> 28*56+28
+        assert int(lin[0, 0]) == 28 * 56 + 28
+        assert int(lin[0, 1]) == 0
+
+        # One-hot heatmap logits at those cells decode back to the points.
+        h = 56
+        logits = np.full((1, h, h, 4), -10.0, np.float32)
+        logits[0, 28, 28, 0] = 10.0
+        logits[0, 0, 0, 1] = 10.0
+        out = heatmaps_to_keypoints(jnp.asarray(logits), rois)
+        np.testing.assert_allclose(np.asarray(out[0, 0, :2]), [38.5, 48.5],
+                                   atol=1.0)
+        np.testing.assert_allclose(np.asarray(out[0, 1, :2]), [10.5, 20.5],
+                                   atol=1.0)
+        assert float(out[0, 0, 2]) > 0.99  # softmax prob at the hot cell
+
+    def test_far_edge_boundary_rule(self):
+        """A keypoint exactly on the RoI's far edge lands in the last cell
+        (torchvision's x == heatmap_size special case), not invalid."""
+        from podtpu.models.roi_heads import keypoints_to_heatmap
+
+        rois = jnp.asarray([[0.0, 0.0, 56.0, 56.0]])
+        kps = jnp.asarray([[[56.0, 56.0, 2.0]]])
+        lin, valid = keypoints_to_heatmap(kps, rois, 56)
+        assert bool(valid[0, 0])
+        assert int(lin[0, 0]) == 56 * 56 - 1
+
+
+class TestKeypointOKS:
+    def test_perfect_match_is_one(self):
+        from podtpu.train.coco_metrics import keypoint_oks
+
+        gt = np.zeros((1, 5, 3))
+        gt[0, :, 0] = [10, 20, 30, 40, 50]
+        gt[0, :, 1] = [15, 25, 35, 45, 55]
+        gt[0, :, 2] = 2
+        boxes = np.asarray([[5.0, 10.0, 55.0, 60.0]])
+        oks = keypoint_oks(gt.copy(), gt, boxes)
+        np.testing.assert_allclose(oks, [[1.0]], atol=1e-9)
+
+    def test_distance_decreases_oks(self):
+        from podtpu.train.coco_metrics import keypoint_oks
+
+        gt = np.zeros((1, 5, 3))
+        gt[0, :, 0] = 30.0
+        gt[0, :, 1] = 30.0
+        gt[0, :, 2] = 2
+        boxes = np.asarray([[10.0, 10.0, 50.0, 50.0]])
+        near = gt.copy()
+        near[0, :, :2] += 2.0
+        far = gt.copy()
+        far[0, :, :2] += 20.0
+        o_near = keypoint_oks(near, gt, boxes)[0, 0]
+        o_far = keypoint_oks(far, gt, boxes)[0, 0]
+        assert 1.0 > o_near > o_far >= 0.0
+
+    def test_invisible_gt_ignored_in_eval(self):
+        """A gt whose keypoints are all invisible is ignore-listed: a
+        detection matching it neither scores nor counts as FP."""
+        from podtpu.train.coco_metrics import COCOEvaluator
+
+        ev = COCOEvaluator(num_classes=1, iou_type="keypoints")
+        gt_kp = np.zeros((1, 5, 3))  # all v=0
+        dt_kp = np.zeros((1, 5, 3))
+        dt_kp[0, :, 2] = 1.0
+        ev.update(gt_boxes=np.asarray([[0, 0, 40, 40]]),
+                  gt_labels=np.asarray([1]),
+                  dt_boxes=np.asarray([[0, 0, 40, 40]]),
+                  dt_scores=np.asarray([0.9]),
+                  dt_labels=np.asarray([1]),
+                  gt_keypoints=gt_kp, dt_keypoints=dt_kp)
+        stats = ev.summarize()
+        assert stats[0] == -1.0  # no scoreable gt anywhere
+
+    def test_end_to_end_ap_one_for_exact(self):
+        from podtpu.train.coco_metrics import COCOEvaluator
+
+        ev = COCOEvaluator(num_classes=1, iou_type="keypoints")
+        gt_kp = np.zeros((2, 5, 3))
+        gt_kp[:, :, 0] = np.asarray([[10, 20, 30, 40, 50],
+                                     [60, 70, 80, 90, 95]])
+        gt_kp[:, :, 1] = gt_kp[:, :, 0]
+        gt_kp[:, :, 2] = 2
+        boxes = np.asarray([[5, 5, 55, 55], [55, 55, 100, 100]], float)
+        ev.update(gt_boxes=boxes, gt_labels=np.asarray([1, 1]),
+                  dt_boxes=boxes, dt_scores=np.asarray([0.9, 0.8]),
+                  dt_labels=np.asarray([1, 1]),
+                  gt_keypoints=gt_kp, dt_keypoints=gt_kp)
+        stats = ev.summarize()
+        assert stats[1] == 1.0  # AP@OKS=0.5
+
+
+class TestAugmentationCarriesKeypoints:
+    def test_hflip_mirrors_and_permutes(self):
+        from podtpu.data.presets import augment_batch_policy, hflip_policy
+
+        img = jnp.zeros((32, 32, 3), jnp.float32)
+        boxes = jnp.asarray([[4.0, 4.0, 20.0, 20.0]])
+        valid = jnp.ones((1,), bool)
+        kps = jnp.asarray([[[6.0, 8.0, 2.0], [18.0, 10.0, 2.0]]])
+        for seed in range(20):
+            _, ob, _, _, ok = augment_batch_policy(
+                hflip_policy, jax.random.key(seed), img[None], boxes[None],
+                valid[None], keypoints=kps[None], kp_hflip_inds=(1, 0))
+            if not np.allclose(np.asarray(ob[0]), np.asarray(boxes)):
+                got = np.asarray(ok[0, 0])
+                # Flip happened: slots swapped AND x mirrored (32 - x).
+                np.testing.assert_allclose(got[0, :2], [32 - 18.0, 10.0])
+                np.testing.assert_allclose(got[1, :2], [32 - 6.0, 8.0])
+                break
+        else:
+            raise AssertionError("no flip in 20 seeds")
+
+    def test_lsj_marks_offcanvas_invisible(self):
+        from podtpu.ops.image_ops import scale_and_place_keypoints
+
+        kps = jnp.asarray([[[10.0, 10.0, 2.0], [30.0, 30.0, 2.0]]])
+        out = scale_and_place_keypoints(kps, 2.0, 0.0, 0.0, 32, 32)
+        got = np.asarray(out[0])
+        np.testing.assert_allclose(got[0], [20.0, 20.0, 2.0])
+        assert got[1, 2] == 0.0  # 60 > 32: off canvas
+
+
+class TestKeypointModel:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from podtpu.models.detector import init_variables, make_detector
+
+        cfg = micro_kp_cfg()
+        model = make_detector(cfg)
+        variables = init_variables(model, jax.random.key(0))
+        return cfg, model, variables
+
+    def test_train_and_eval_shapes(self, setup):
+        cfg, model, variables = setup
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)),
+                             jnp.float32)
+        gxy = rng.uniform(10, 60, (2, 8, 2)).astype(np.float32)
+        gwh = rng.uniform(20, 40, (2, 8, 2)).astype(np.float32)
+        boxes = np.concatenate([gxy, gxy + gwh], -1)
+        kp = np.zeros((2, 8, 5, 3), np.float32)
+        centre = gxy + gwh / 2
+        kp[..., 0, 0] = centre[..., 0]
+        kp[..., 0, 1] = centre[..., 1]
+        kp[..., 0, 2] = 2.0
+        gt = {"boxes": jnp.asarray(boxes),
+              "labels": jnp.ones((2, 8), jnp.int32),
+              "valid": jnp.ones((2, 8), bool),
+              "keypoints": jnp.asarray(kp)}
+        losses = model.apply(variables, images, gt=gt, train=True,
+                             rng=jax.random.key(1))
+        assert "loss_keypoint" in losses
+        assert all(np.isfinite(float(v)) for v in losses.values())
+        det, kps = model.apply(variables, images, train=False)
+        assert kps.shape == (2, cfg.detections_per_image, 5, 3)
+
+    def test_torch_deconv_parity(self):
+        """The 4x4/s2/p1 ConvTranspose matches torch numerically under the
+        weight-import layout (same check the mask head's 2x2 deconv has)."""
+        torch = pytest.importorskip("torch")
+        from flax import linen as nn
+
+        from podtpu.models.weights import _deconv
+
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(8, 3, 4, 4)).astype(np.float32)  # [in,out,k,k]
+        b = rng.normal(size=(3,)).astype(np.float32)
+        x = rng.normal(size=(1, 8, 14, 14)).astype(np.float32)
+
+        tconv = torch.nn.ConvTranspose2d(8, 3, 4, stride=2, padding=1)
+        with torch.no_grad():
+            tconv.weight.copy_(torch.from_numpy(w))
+            tconv.bias.copy_(torch.from_numpy(b))
+            want = tconv(torch.from_numpy(x)).numpy()  # [1, 3, 28, 28]
+
+        # flax pads the dilated input: torch p=1 on k=4 -> k-1-p = 2/side.
+        mod = nn.ConvTranspose(3, (4, 4), strides=(2, 2),
+                               padding=[(2, 2), (2, 2)])
+        variables = mod.init(jax.random.key(0),
+                             jnp.zeros((1, 14, 14, 8)))
+        variables = {"params": {"kernel": jnp.asarray(_deconv(w)),
+                                "bias": jnp.asarray(b)}}
+        got = mod.apply(variables, jnp.asarray(
+            np.transpose(x, (0, 2, 3, 1))))
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_weight_import_keypoint_keys(self):
+        """Fake keypointrcnn state_dict keys land on the keypoint head."""
+        from podtpu.models.detector import init_variables, make_detector
+        from podtpu.models.weights import (_deconv,
+                                           convert_torchvision_state_dict)
+
+        cfg = micro_kp_cfg()
+        variables = init_variables(make_detector(cfg), jax.random.key(0))
+        rng = np.random.default_rng(0)
+        kp = variables["params"]["keypoint_head"]
+        sd = {}
+        want = {}
+        for i in range(8):
+            k = np.asarray(kp[f"conv{i + 1}"]["kernel"])  # HWIO
+            t = rng.normal(size=k.shape).astype(np.float32)
+            want[f"conv{i + 1}"] = t
+            sd[f"roi_heads.keypoint_head.{2 * i}.weight"] = \
+                np.transpose(t, (3, 2, 0, 1))
+            sd[f"roi_heads.keypoint_head.{2 * i}.bias"] = \
+                np.zeros(k.shape[-1], np.float32)
+        dk = np.asarray(kp["deconv"]["kernel"])  # [kH, kW, in, out]
+        t = rng.normal(size=dk.shape).astype(np.float32)
+        want["deconv"] = t
+        # invert _deconv: torch layout [in, out, kH, kW], flipped taps
+        sd["roi_heads.keypoint_predictor.kps_score_lowres.weight"] = \
+            np.transpose(t[::-1, ::-1], (2, 3, 0, 1))
+        sd["roi_heads.keypoint_predictor.kps_score_lowres.bias"] = \
+            np.zeros(dk.shape[-1], np.float32)
+        out, (loaded, skipped) = convert_torchvision_state_dict(
+            sd, variables, return_stats=True)
+        assert loaded == len(sd), skipped
+        for i in range(8):
+            np.testing.assert_allclose(
+                np.asarray(out["params"]["keypoint_head"]
+                           [f"conv{i + 1}"]["kernel"]),
+                want[f"conv{i + 1}"], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["keypoint_head"]["deconv"]["kernel"]),
+            want["deconv"], rtol=1e-6)
+
+
+class TestKeypointE2E:
+    @pytest.mark.slow
+    def test_train_eval_keypoint_ap(self, tmp_path):
+        """Product path: train(with_keypoints=True) on synthetic
+        keypoint-annotated particles -> results_keypoints.txt written and
+        inference returns keypoints attached to the annotations."""
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        root = tmp_path / "images"
+        project = make_project(str(root), num_images=10, keypoints=True)
+        out = train(
+            project, labels=["particle"], output_dir=str(tmp_path),
+            name="kp", batch_size=2, max_epochs=2, alrs_epochs=2,
+            alrs_startup_factor=1, config=tiny_config(), num_workers=2,
+            seed=0, with_keypoints=True, num_keypoints=5,
+        )
+        assert os.path.exists(os.path.join(out, "results.txt"))
+        assert os.path.exists(os.path.join(out, "results_keypoints.txt"))
+        import json
+        with open(os.path.join(out, "config.json")) as fp:
+            saved = json.load(fp)
+        assert saved["model"]["with_keypoints"] is True
+        assert saved["model"]["num_keypoints"] == 5
+
+        # Inference attaches (x, y, score) triples to emitted rectangles.
+        from podtpu.infer.inference import infer
+        fresh = make_project(str(tmp_path / "fresh"), num_images=2,
+                             keypoints=False, seed=7)
+        dets = infer(fresh, out, threshold=0.05, batch_size=2)
+        anns = [b for m in dets.image_dict.values() for b in m.boxes]
+        if anns:  # 2-epoch training may detect little; check shape if any
+            assert anns[0].keypoints is not None
+            assert len(anns[0].keypoints) == 5
+            assert len(anns[0].keypoints[0]) == 3
+
+    def test_coco_keypoints_roundtrip(self, tmp_path):
+        """COCO person_keypoints-style json import/export round-trips the
+        keypoint triples."""
+        import json
+
+        from podtpu.data.coco_import import export_coco_json, load_coco_json
+
+        coco = {
+            "images": [{"id": 1, "file_name": "a.jpg",
+                        "height": 100, "width": 100}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "bbox": [10, 10, 30, 40], "area": 1200, "iscrowd": 0,
+                "keypoints": [15, 15, 2, 20, 20, 1, 0, 0, 0],
+                "num_keypoints": 2,
+            }],
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        src = tmp_path / "kp.json"
+        src.write_text(json.dumps(coco))
+        project = load_coco_json(str(src), str(tmp_path))
+        box = next(iter(project.image_dict.values())).boxes[0]
+        assert box.keypoints == [(15, 15, 2), (20, 20, 1), (0, 0, 0)]
+
+        dst = tmp_path / "out.json"
+        export_coco_json(project, str(dst))
+        back = json.loads(dst.read_text())
+        ann = back["annotations"][0]
+        assert ann["keypoints"] == [15, 15, 2, 20, 20, 1, 0, 0, 0]
+        assert ann["num_keypoints"] == 2
+
+    def test_dataset_targets(self, tmp_path):
+        from podtpu.data.dataset import DetectionDataset
+        from tests.synthetic import make_project
+
+        project = make_project(str(tmp_path / "im"), num_images=2,
+                               keypoints=True)
+        ds = DetectionDataset(project, image_size=(128, 128), max_gt=8,
+                              with_keypoints=True, num_keypoints=5,
+                              cache=False)
+        s = ds.load(0)
+        assert s.keypoints.shape == (8, 5, 3)
+        v = s.valid
+        assert (s.keypoints[v][:, :, 2] > 0).any()
+        # Keypoints scale with the canvas fit like boxes do.
+        g0 = np.flatnonzero(v)[0]
+        cx = (s.boxes[g0, 0] + s.boxes[g0, 2]) / 2
+        cy = (s.boxes[g0, 1] + s.boxes[g0, 3]) / 2
+        np.testing.assert_allclose(s.keypoints[g0, 0, :2], [cx, cy],
+                                   atol=1.5)

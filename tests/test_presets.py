@@ -44,22 +44,23 @@ class TestTransforms:
     def test_scale_jitter_boxes_follow(self):
         img, boxes, _ = sample_image()
         # Deterministic scale via fixed key; just check invariants.
-        jimg, jbox, _ = T.scale_jitter(jax.random.key(0), img, boxes)
+        jimg, jbox, _, _ = T.scale_jitter(jax.random.key(0), img, boxes)
         assert jimg.shape == img.shape
         assert float(jbox.min()) >= 0.0
         assert float(jbox.max()) <= 64.0
 
     def test_zoom_out_shrinks_boxes(self):
         img, boxes, _ = sample_image()
-        zimg, zbox, _ = T.zoom_out(jax.random.key(1), img, boxes, (2.0, 2.0))
+        zimg, zbox, _, _ = T.zoom_out(jax.random.key(1), img, boxes,
+                                      (2.0, 2.0))
         w0 = float(boxes[0, 2] - boxes[0, 0])
         w1 = float(zbox[0, 2] - zbox[0, 0])
         assert w1 == pytest.approx(w0 / 2, rel=1e-3)
 
     def test_iou_crop_valid_masks(self):
         img, boxes, valid = sample_image()
-        cimg, cbox, cvalid, _ = T.iou_crop(jax.random.key(2), img, boxes,
-                                           valid)
+        cimg, cbox, cvalid, _, _ = T.iou_crop(jax.random.key(2), img,
+                                              boxes, valid)
         assert cimg.shape == img.shape
         assert cvalid.shape == valid.shape
         assert float(cbox.min()) >= 0.0
@@ -71,8 +72,8 @@ class TestTransforms:
         img, _, _ = sample_image()
         boxes = jnp.asarray([[16, 16, 48, 48]], jnp.float32)
         masks = jnp.zeros((1, 32, 32), jnp.float32).at[0, 8:24, 8:24].set(1.0)
-        zimg, zbox, zmask = T.zoom_out(jax.random.key(5), img, boxes,
-                                       (2.0, 2.0), masks=masks)
+        zimg, zbox, zmask, _ = T.zoom_out(jax.random.key(5), img, boxes,
+                                          (2.0, 2.0), masks=masks)
         on = np.argwhere(np.asarray(zmask[0]) > 0.5)
         assert len(on) > 0
         (y0, x0), (y1, x1) = on.min(0), on.max(0)
@@ -85,7 +86,7 @@ class TestTransforms:
         img, boxes, valid = sample_image()
         masks = jnp.zeros((2, 32, 32), jnp.float32).at[0, 5:15, 10:15].set(1.0)
         fn = get_policy("lsj")
-        oi, ob, ov, om = augment_batch_policy(
+        oi, ob, ov, om, _ = augment_batch_policy(
             fn, jax.random.key(1), img[None], boxes[None], valid[None],
             masks=masks[None])
         assert om is not None and om.shape == (1, 2, 32, 32)
@@ -96,7 +97,7 @@ class TestTransforms:
         img, boxes, valid = sample_image()
         masks = jnp.zeros((2, 32, 32), jnp.float32).at[1, 4:12, 20:30].set(1.0)
         fn = get_policy(name)
-        oi, ob, ov, om = augment_batch_policy(
+        oi, ob, ov, om, _ = augment_batch_policy(
             fn, jax.random.key(2), img[None], boxes[None], valid[None],
             masks=masks[None])
         assert om is not None and om.shape == (1, 2, 32, 32)
@@ -120,7 +121,7 @@ class TestPolicies:
         img, boxes, valid = sample_image()
         images = img[None]
         fn = get_policy(name)
-        out_img, out_box, out_valid, out_masks = augment_batch_policy(
+        out_img, out_box, out_valid, out_masks, _ = augment_batch_policy(
             fn, jax.random.key(0), images, boxes[None], valid[None])
         assert out_masks is None
         assert out_img.shape == images.shape
@@ -134,7 +135,7 @@ class TestPolicies:
         from podtpu.data.presets import hflip_policy
         # Force a flip by trying keys until boxes change.
         for seed in range(20):
-            oi, ob, ov, om = augment_batch_policy(
+            oi, ob, ov, om, _ = augment_batch_policy(
                 hflip_policy, jax.random.key(seed), img[None], boxes[None],
                 valid[None], masks=masks[None])
             if not np.allclose(ob[0], boxes):
@@ -152,7 +153,7 @@ class TestPolicies:
     def test_none_policy_identity(self):
         img, boxes, valid = sample_image()
         fn = get_policy("none")
-        out_img, out_box, out_valid, _ = augment_batch_policy(
+        out_img, out_box, out_valid, _, _ = augment_batch_policy(
             fn, jax.random.key(0), img[None], boxes[None], valid[None])
         assert np.allclose(out_img[0], img)
         assert np.allclose(out_box[0], boxes)
