@@ -155,7 +155,10 @@ class ModelConfig:
     keypoint_head_channels: int = 512
     # Horizontal-flip index permutation (left/right joint swap for the COCO
     # skeleton).  Empty = identity (no swap) — correct for symmetric or
-    # unordered keypoint sets.
+    # unordered keypoint sets.  ``train()``/``build_model`` default it to
+    # ``COCO_17_HFLIP_INDS`` when num_keypoints == 17.  A NON-identity
+    # permutation marks the skeleton as chiral: vertical flips (which have
+    # no valid remap) are then disabled in the 'miso' policy.
     keypoint_hflip_inds: Tuple[int, ...] = ()
 
     # Static capacities
@@ -201,6 +204,12 @@ class ModelConfig:
         if self.backbone == "mobilenet_v3_fpn":
             return (self.strides[0],)
         return tuple(self.strides)
+
+
+# Left/right joint swap of the COCO person-17 skeleton under horizontal
+# flip (nose, then eye/ear/shoulder/elbow/wrist/hip/knee/ankle L-R pairs).
+COCO_17_HFLIP_INDS = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                      16, 15)
 
 
 def mobilenet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
@@ -414,6 +423,10 @@ class TrainConfig:
     # NaN handling: reference hard-exits (engine.py:42-45); we do too.
     nan_is_fatal: bool = True
     log_every: int = 10
+    # Optional global-norm gradient clipping (None = off).  One-stage
+    # recipes trained from scratch at the reference's SGD lr (notably
+    # FCOS's focal+GIoU losses) can spike and NaN without it.
+    clip_grad_norm: object = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,11 +61,16 @@ def load_coco_json(annotations_json: str, image_root: str,
         keypoints = [tuple(kp[i: i + 3]) for i in range(0, len(kp), 3)] \
             if kp else None
         if isinstance(seg, list) and seg and isinstance(seg[0], list) \
-                and len(seg[0]) >= 6 and not ann.get("iscrowd", 0) \
-                and keypoints is None:
+                and len(seg[0]) >= 6 and not ann.get("iscrowd", 0):
             pts = seg[0]
-            meta.add_annotation(PolygonAnnotation(
-                pts[0::2], pts[1::2], label, uid=ann.get("id")))
+            new = PolygonAnnotation(pts[0::2], pts[1::2], label,
+                                    uid=ann.get("id"))
+            # person_keypoints_*.json annotations carry BOTH segmentation
+            # and keypoints: keep the polygon (mask training) and attach
+            # the triples (every consumer reads them via getattr).
+            if keypoints is not None:
+                new.keypoints = keypoints
+            meta.add_annotation(new)
         else:
             x, y, w, h = ann["bbox"]
             meta.add_annotation(RectangleAnnotation(

@@ -75,11 +75,14 @@ def _flips(rng, image, boxes, hflip_prob=0.5, vflip_prob=0.5, masks=None,
 
 
 def miso_policy(rng, image, boxes, valid, masks=None, keypoints=None,
-                distort=True, kp_hflip_inds=None):
+                distort=True, kp_hflip_inds=None, vflip_prob=0.5):
+    """``vflip_prob`` is forced to 0 by the step builders when a chiral
+    keypoint skeleton is configured (a non-identity hflip permutation
+    exists, but no vertical remap does)."""
     k1, k2 = jax.random.split(rng)
     image, boxes, masks, keypoints = _flips(
-        k1, image, boxes, masks=masks, keypoints=keypoints,
-        kp_hflip_inds=kp_hflip_inds)
+        k1, image, boxes, vflip_prob=vflip_prob, masks=masks,
+        keypoints=keypoints, kp_hflip_inds=kp_hflip_inds)
     if distort:
         image = T.photometric_distort(k2, image)
     return image, boxes, valid, masks, keypoints

@@ -195,7 +195,8 @@ class FasterRCNN(nn.Module):
             masks = self._predict_masks(box_levels, out)
             return out, masks
         if cfg.with_keypoints:
-            return out, self._predict_keypoints(box_levels, out)
+            return out, rh.KeypointOutput(
+                self._predict_keypoints(box_levels, out))
         return out
 
     def _mask_losses(self, box_levels, sampled, gt, img_w=None):
@@ -389,6 +390,12 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
         raise ValueError(
             "with_keypoints requires family='faster_rcnn' (SSD has no "
             "RoI stage)")
+    if (with_mask or cfg.with_mask) and (with_keypoints
+                                         or cfg.with_keypoints):
+        raise ValueError(
+            "with_mask and with_keypoints are mutually exclusive (the "
+            "torchvision zoo has no combined model, and the inference "
+            "output carries one extra head)")
     if cfg.family in ("ssd", "ssdlite"):
         if with_mask or cfg.with_mask:
             raise ValueError(
@@ -415,4 +422,10 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
         with_keypoints=with_keypoints or cfg.with_keypoints,
         num_keypoints=(num_keypoints if with_keypoints
                        else cfg.num_keypoints))
+    if cfg.with_keypoints and cfg.num_keypoints == 17 \
+            and not cfg.keypoint_hflip_inds:
+        # COCO person-17 default left/right swap (see ModelConfig docs).
+        from podtpu.core.config import COCO_17_HFLIP_INDS
+        cfg = dataclasses.replace(cfg,
+                                  keypoint_hflip_inds=COCO_17_HFLIP_INDS)
     return make_detector(cfg), cfg

@@ -164,10 +164,10 @@ class MobileNetV3FPN(nn.Module):
                 dtype=self.dtype, name=f"block{idx}")(h)
             if idx == C4_BLOCK:
                 c13 = h  # 160-channel stride-32 tap (features[13] output)
+            # Freeze boundaries all sit BEFORE the C4 block (keys 1/3/6/12),
+            # so the tap itself is only frozen by the final all-stages check.
             if boundaries.get(idx, 99) < freeze_from:
                 h = jax.lax.stop_gradient(h)
-                if idx == C4_BLOCK:
-                    c13 = jax.lax.stop_gradient(c13)
 
         h = nn.Conv(960, (1, 1), name="head", **kw)(h)
         h = hardswish(FrozenBatchNorm(960, dtype=self.dtype,

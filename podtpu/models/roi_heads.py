@@ -72,6 +72,13 @@ class MaskHead(nn.Module):
         return x.astype(jnp.float32)  # [K, 2*pool, 2*pool, C]
 
 
+class KeypointOutput(NamedTuple):
+    """Typed wrapper distinguishing the keypoint extra from mask grids in
+    the eval-step output pytree (shape sniffing is ambiguous at K=3)."""
+
+    keypoints: jnp.ndarray  # [B, D, K, 3] (x, y, score)
+
+
 class KeypointHead(nn.Module):
     """8x conv512 + deconv + 2x bilinear upsample -> per-keypoint heatmap
     logits (torchvision ``KeypointRCNNHeads`` + ``KeypointRCNNPredictor``).
@@ -115,12 +122,14 @@ def keypoints_to_heatmap(kps: jnp.ndarray, rois: jnp.ndarray,
     x1, y1 = rois[:, 0:1], rois[:, 1:2]
     sx = heatmap_size / jnp.maximum(rois[:, 2:3] - x1, 1e-6)
     sy = heatmap_size / jnp.maximum(rois[:, 3:4] - y1, 1e-6)
+    # Boundary rule on ORIGINAL coordinates (torchvision: x == rois[:, 2]
+    # snaps into the last cell; anything strictly beyond stays invalid).
+    x_edge = kps[..., 0] == rois[:, 2:3]
+    y_edge = kps[..., 1] == rois[:, 3:4]
     x = jnp.floor((kps[..., 0] - x1) * sx).astype(jnp.int32)
     y = jnp.floor((kps[..., 1] - y1) * sy).astype(jnp.int32)
-    # Boundary rule: a keypoint exactly on the far edge lands in the last
-    # cell (torchvision's x == heatmap_size special case).
-    x = jnp.where(x == heatmap_size, heatmap_size - 1, x)
-    y = jnp.where(y == heatmap_size, heatmap_size - 1, y)
+    x = jnp.where(x_edge, heatmap_size - 1, x)
+    y = jnp.where(y_edge, heatmap_size - 1, y)
     inside = (x >= 0) & (y >= 0) & (x < heatmap_size) & (y < heatmap_size)
     valid = inside & (kps[..., 2] > 0)
     lin = jnp.clip(y * heatmap_size + x, 0, heatmap_size * heatmap_size - 1)

@@ -411,7 +411,10 @@ def fasterrcnn_mobilenet_v3_key_map() -> Dict[str, Tuple[str, str, callable]]:
                                     np.asarray)
 
     body = "backbone.body"
-    cba(f"{body}.0.0", "backbone/stem", "backbone/bn_stem")
+    # features[0] IS the stem Conv2dNormActivation: conv at body.0.0,
+    # BN at body.0.1 (no extra nesting — unlike the ssdlite SPLIT
+    # extractor whose part-0 Sequential adds one level).
+    cba(f"{body}.0", "backbone/stem", "backbone/bn_stem")
     in_ch = 16
     for idx, (k, e, c, use_se, a, s) in enumerate(V3_LARGE_SETTINGS,
                                                   start=1):
@@ -428,7 +431,7 @@ def fasterrcnn_mobilenet_v3_key_map() -> Dict[str, Tuple[str, str, callable]]:
             i += 1
         cba(f"{tv}.{i}", f"{ours}/project", f"{ours}/bn_project")
         in_ch = c
-    cba(f"{body}.16.0", "backbone/head", "backbone/bn_head")
+    cba(f"{body}.16", "backbone/head", "backbone/bn_head")
     for i in range(2):
         for tvn, ours in ((f"backbone.fpn.inner_blocks.{i}",
                            f"fpn/lateral{i}"),

@@ -60,6 +60,11 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         if cfg.data.aug_policy == "miso" else {}
     if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
         policy_kw["kp_hflip_inds"] = tuple(cfg.model.keypoint_hflip_inds)
+        inds = policy_kw["kp_hflip_inds"]
+        if cfg.data.aug_policy == "miso" \
+                and inds != tuple(range(len(inds))):
+            # Chiral skeleton: no vertical joint remap exists (see step.py).
+            policy_kw["vflip_prob"] = 0.0
 
     def per_shard(state: TrainState, batch: Dict, rng: jax.Array, lr):
         # Distinct augmentation / sampler streams per shard.

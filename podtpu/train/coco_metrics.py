@@ -213,8 +213,11 @@ class COCOEvaluator:
             else:
                 iou = pairwise_iou(dt_boxes[d_sel][order], gt_boxes[g_sel])
             # COCO keypoint eval ignores gts with no labelled keypoints.
+            # MUST stay bool: `bool_array | 0` silently promotes to int64
+            # and the matcher's `~g_ig` then produces -1/-2 (negative gt
+            # counts -> negative recalls).
             kp_ig = (gt_keypoints[g_sel][:, :, 2] > 0).sum(-1) == 0 \
-                if kps else 0
+                if kps else np.zeros(int(g_sel.sum()), bool)
             for aname, (lo, hi) in AREA_RANGES.items():
                 g_ig = (g_area < lo) | (g_area > hi) | kp_ig
                 self._evals[(k, aname)].append(

@@ -47,11 +47,18 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
     in ``opt_state.hyperparams['learning_rate']`` (inject_hyperparams)."""
     mask = trainable_mask_fn(model_cfg)
 
+    # Optional global-norm gradient clipping (stabilises loss spikes that
+    # NaN the run — e.g. FCOS's focal+GIoU recipe from scratch at the
+    # reference's SGD lr; identity when disabled).
+    clip = (optax.clip_by_global_norm(train_cfg.clip_grad_norm)
+            if train_cfg.clip_grad_norm else optax.identity())
+
     if train_cfg.optimiser == "sgd":
         @optax.inject_hyperparams
         def make(learning_rate):
             return optax.masked(
                 optax.chain(
+                    clip,
                     optax.add_decayed_weights(train_cfg.weight_decay),
                     optax.trace(decay=train_cfg.momentum),
                     optax.scale_by_learning_rate(learning_rate),  # -lr
@@ -62,6 +69,7 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
         def make(learning_rate):
             return optax.masked(
                 optax.chain(
+                    clip,
                     optax.scale_by_adam(),
                     optax.scale_by_learning_rate(learning_rate),  # -lr
                 ), mask)

@@ -37,18 +37,19 @@ def split_eval_output(out):
     result.
 
     Mask models return ``(Detections, masks [B, D, M, M])``; keypoint
-    models ``(Detections, keypoints [B, D, K, 3])``; box models the
+    models ``(Detections, KeypointOutput([B, D, K, 3]))``; box models the
     ``Detections`` NamedTuple alone.  The single probe every consumer
     (evaluate / infer / tiled / server) goes through, so a change to the
-    eval-step return shape has exactly one place to update.  The two
-    4-d extras are told apart by the trailing axis: keypoints end in
-    (x, y, score) triples, mask grids are square and >= 14."""
+    eval-step return shape has exactly one place to update.  The keypoint
+    extra is a typed NamedTuple (preserved through jit pytrees), so no
+    shape sniffing is needed."""
+    from podtpu.models.roi_heads import KeypointOutput
+
     if hasattr(out, "boxes"):
         return out, None, None
     det, extra = out
-    if extra.ndim == 4 and extra.shape[-1] == 3 \
-            and extra.shape[-2] != extra.shape[-1]:
-        return det, None, extra
+    if isinstance(extra, KeypointOutput):
+        return det, None, extra.keypoints
     return det, extra, None
 
 
@@ -81,6 +82,12 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
         if cfg.data.aug_policy == "miso" else {}
     if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
         policy_kw["kp_hflip_inds"] = tuple(cfg.model.keypoint_hflip_inds)
+        inds = policy_kw["kp_hflip_inds"]
+        if cfg.data.aug_policy == "miso" \
+                and inds != tuple(range(len(inds))):
+            # Chiral skeleton: hflip has a left/right remap but vflip has
+            # none — vertical flips would corrupt joint identity.
+            policy_kw["vflip_prob"] = 0.0
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
                 lr: jnp.ndarray):

@@ -144,6 +144,11 @@ def train(project: Project,
         raise ValueError(
             "with_keypoints requires family='faster_rcnn' (the keypoint "
             "head pools RoIs — torchvision keypointrcnn_resnet50_fpn)")
+    if (with_mask or cfg.model.with_mask) \
+            and (with_keypoints or cfg.model.with_keypoints):
+        raise ValueError(
+            "with_mask and with_keypoints are mutually exclusive (the "
+            "torchvision zoo has no combined model)")
     if backbone == "mobilenet_v2" and model_cfg.backbone != "mobilenet_v2":
         # The reference's second detector family (MobileNetV2 single-map
         # Faster R-CNN, `miso/instance_segmentation/training.py:7-36`).
@@ -215,6 +220,14 @@ def train(project: Project,
                 num_keypoints=(num_keypoints if with_keypoints
                                else cfg.model.num_keypoints)),
         )
+    if cfg.model.with_keypoints and cfg.model.num_keypoints == 17 \
+            and not cfg.model.keypoint_hflip_inds and not resumed_model_cfg:
+        # COCO person-17 default: horizontal flips must swap left/right
+        # joints or the model trains on chirally inconsistent targets.
+        from podtpu.core.config import COCO_17_HFLIP_INDS
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, keypoint_hflip_inds=COCO_17_HFLIP_INDS))
     print("Object detector training (podtpu)")
     print(f"- output directory: {output_dir}")
     project.summary()

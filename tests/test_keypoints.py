@@ -56,15 +56,18 @@ class TestHeatmapCodec:
         assert float(out[0, 0, 2]) > 0.99  # softmax prob at the hot cell
 
     def test_far_edge_boundary_rule(self):
-        """A keypoint exactly on the RoI's far edge lands in the last cell
-        (torchvision's x == heatmap_size special case), not invalid."""
+        """A keypoint EXACTLY on the RoI's far edge lands in the last cell
+        (torchvision tests the boundary on original coordinates); anything
+        strictly beyond the edge stays invalid."""
         from podtpu.models.roi_heads import keypoints_to_heatmap
 
         rois = jnp.asarray([[0.0, 0.0, 56.0, 56.0]])
-        kps = jnp.asarray([[[56.0, 56.0, 2.0]]])
+        kps = jnp.asarray([[[56.0, 56.0, 2.0],    # exactly on the edge
+                            [56.5, 10.0, 2.0]]])  # beyond -> invalid
         lin, valid = keypoints_to_heatmap(kps, rois, 56)
         assert bool(valid[0, 0])
         assert int(lin[0, 0]) == 56 * 56 - 1
+        assert not bool(valid[0, 1])
 
 
 class TestKeypointOKS:
@@ -193,7 +196,12 @@ class TestKeypointModel:
                              rng=jax.random.key(1))
         assert "loss_keypoint" in losses
         assert all(np.isfinite(float(v)) for v in losses.values())
-        det, kps = model.apply(variables, images, train=False)
+        out = model.apply(variables, images, train=False)
+        from podtpu.models.roi_heads import KeypointOutput
+        from podtpu.train.step import split_eval_output
+        det, masks, kps = split_eval_output(out)
+        assert isinstance(out[1], KeypointOutput)
+        assert masks is None
         assert kps.shape == (2, cfg.detections_per_image, 5, 3)
 
     def test_torch_deconv_parity(self):
@@ -303,6 +311,53 @@ class TestKeypointE2E:
             assert anns[0].keypoints is not None
             assert len(anns[0].keypoints) == 5
             assert len(anns[0].keypoints[0]) == 3
+
+    def test_mask_and_keypoints_mutually_exclusive(self):
+        from podtpu.models.detector import build_model
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            build_model(2, with_mask=True, with_keypoints=True)
+
+    def test_coco17_hflip_default_and_chirality_guard(self):
+        """num_keypoints=17 defaults the COCO left/right swap, and the
+        'miso' policy then disables vertical flips (no vertical remap
+        exists for a chiral skeleton)."""
+        from podtpu.core.config import COCO_17_HFLIP_INDS
+        from podtpu.models.detector import build_model
+
+        _, cfg = build_model(2, with_keypoints=True, num_keypoints=17)
+        assert cfg.keypoint_hflip_inds == COCO_17_HFLIP_INDS
+        # Non-17 skeletons keep the identity default (symmetric).
+        _, cfg5 = build_model(2, with_keypoints=True, num_keypoints=5)
+        assert cfg5.keypoint_hflip_inds == ()
+
+    def test_keypoints_with_segmentation_keep_polygon(self, tmp_path):
+        """person_keypoints-style annotations carry BOTH segmentation and
+        keypoints: the polygon survives import (mask training) and the
+        triples ride along."""
+        import json
+
+        from podtpu.data.annotation import PolygonAnnotation
+        from podtpu.data.coco_import import load_coco_json
+
+        coco = {
+            "images": [{"id": 1, "file_name": "a.jpg",
+                        "height": 100, "width": 100}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "bbox": [10, 10, 30, 40], "area": 1200, "iscrowd": 0,
+                "segmentation": [[10, 10, 40, 10, 40, 50, 10, 50]],
+                "keypoints": [15, 15, 2, 20, 20, 1, 0, 0, 0],
+                "num_keypoints": 2,
+            }],
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        src = tmp_path / "kps.json"
+        src.write_text(json.dumps(coco))
+        project = load_coco_json(str(src), str(tmp_path))
+        box = next(iter(project.image_dict.values())).boxes[0]
+        assert isinstance(box, PolygonAnnotation)
+        assert box.keypoints == [(15, 15, 2), (20, 20, 1), (0, 0, 0)]
 
     def test_coco_keypoints_roundtrip(self, tmp_path):
         """COCO person_keypoints-style json import/export round-trips the

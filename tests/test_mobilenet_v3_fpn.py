@@ -146,6 +146,32 @@ class TestModel:
 
 
 class TestWeightImport:
+    def test_map_spells_real_torchvision_keys(self):
+        """Pin the exact key spellings of the UNSPLIT body (the round-trip
+        test below synthesizes its checkpoint FROM the map, so it cannot
+        catch a misspelt key): features[0]/[16] are Conv2dNormActivation
+        (conv at .0, BN at .1 — no extra nesting), blocks nest under
+        .block, and the FPN blocks allow the Conv2dNormActivation alias."""
+        from podtpu.models.weights import fasterrcnn_mobilenet_v3_key_map
+
+        m = fasterrcnn_mobilenet_v3_key_map()
+        for key in (
+            "backbone.body.0.0.weight",            # stem conv
+            "backbone.body.0.1.running_mean",      # stem BN
+            "backbone.body.1.block.0.0.weight",    # first block dw conv
+            "backbone.body.4.block.2.fc1.weight",  # an SE squeeze conv
+            "backbone.body.16.0.weight",           # final 960ch conv
+            "backbone.body.16.1.running_var",      # final BN
+            "backbone.fpn.inner_blocks.0.weight",
+            "backbone.fpn.inner_blocks.1.0.weight",
+            "rpn.head.cls_logits.weight",
+            "roi_heads.box_predictor.bbox_pred.bias",
+        ):
+            assert key in m, key
+        # The split-extractor spellings must NOT appear here.
+        assert "backbone.body.0.0.0.weight" not in m
+        assert "backbone.body.16.0.0.weight" not in m
+
     def test_torchvision_layout_roundtrip(self):
         """A full fake ``fasterrcnn_mobilenet_v3_large_fpn`` state_dict
         (unsplit body, 2-level FPN) imports into every mappable path,

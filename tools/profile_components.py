@@ -138,7 +138,7 @@ def main():
 
     @jax.jit
     def aug_only(key, imgs, bxs, vld):
-        i2, b2, v2, _ = augment_batch_policy(policy, key, imgs, bxs, vld,
+        i2, b2, v2, _, _ = augment_batch_policy(policy, key, imgs, bxs, vld,
                                              distort=True)
         return i2.sum() + b2.sum()
 
