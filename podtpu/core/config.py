@@ -64,6 +64,18 @@ class ModelConfig:
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
 
+    # v2 recipe knobs (torchvision ``fasterrcnn_resnet50_fpn_v2`` /
+    # ``maskrcnn_resnet50_fpn_v2`` — the "Benchmarking Detection Transfer
+    # Learning" heads; use ``fasterrcnn_v2_config()`` for the preset):
+    # 2-deep RPN conv tower, conv+fc box head with normalisation, and
+    # normed FPN blocks.  Norm layers import the checkpoint's BatchNorm
+    # statistics and run frozen (the framework's fine-tuning stance; the
+    # reference never trains BN statistics either).
+    rpn_conv_depth: int = 1
+    box_head_type: str = "mlp"  # 'mlp' (TwoMLPHead) | 'convfc' (v2)
+    fpn_norm: bool = False
+    mask_head_norm: bool = False
+
     # RPN
     rpn_pre_nms_topk_train: int = 2000  # per level
     rpn_pre_nms_topk_test: int = 1000
@@ -230,6 +242,24 @@ def mobilenet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
         # VMEM windows are sized for 256-channel FPN maps).
         use_pallas_roi_align=False,
         **kw)
+
+
+def fasterrcnn_v2_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's ``fasterrcnn_resnet50_fpn_v2``
+    (and, with ``with_mask=True``, ``maskrcnn_resnet50_fpn_v2``): the same
+    detection pipeline with the improved-recipe heads — RPNHead with
+    conv_depth=2, ``FastRCNNConvFCHead`` (4x conv256+norm, fc1024), normed
+    FPN blocks, and a normed mask tower.  Anchors/thresholds are unchanged
+    from v1."""
+    base = cfg or ModelConfig()
+    fields = dict(
+        rpn_conv_depth=2,
+        box_head_type="convfc",
+        fpn_norm=True,
+        mask_head_norm=True,
+    )
+    fields.update(kw)
+    return dataclasses.replace(base, **fields)
 
 
 def mobilenet_v3_fpn_config(cfg: "ModelConfig" = None, low_res: bool = False,

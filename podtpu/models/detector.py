@@ -68,19 +68,24 @@ class FasterRCNN(nn.Module):
                 trainable_stages=cfg.trainable_backbone_stages,
                 stem_space_to_depth=cfg.stem_space_to_depth, name="backbone")
             self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
-                           name="fpn")
+                           norm=cfg.fpn_norm, name="fpn")
             rpn_channels = cfg.fpn_channels
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.rpn_head = rpn_lib.RPNHead(
             num_anchors=cfg.anchors_per_location, channels=rpn_channels,
-            dtype=dtype, name="rpn_head")
-        self.box_head = rh.BoxHead(num_classes=cfg.num_classes, dtype=dtype,
-                                   name="box_head")
+            conv_depth=cfg.rpn_conv_depth, dtype=dtype, name="rpn_head")
+        if cfg.box_head_type == "convfc":
+            # v2 recipe (FastRCNNConvFCHead; fasterrcnn_v2_config).
+            self.box_head = rh.ConvFCBoxHead(num_classes=cfg.num_classes,
+                                             dtype=dtype, name="box_head")
+        else:
+            self.box_head = rh.BoxHead(num_classes=cfg.num_classes,
+                                       dtype=dtype, name="box_head")
         if cfg.with_mask:
             self.mask_head = rh.MaskHead(
                 num_classes=cfg.num_classes, channels=cfg.mask_head_channels,
-                dtype=dtype, name="mask_head")
+                norm=cfg.mask_head_norm, dtype=dtype, name="mask_head")
         if cfg.with_keypoints:
             self.keypoint_head = rh.KeypointHead(
                 num_keypoints=cfg.num_keypoints,
@@ -364,10 +369,16 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
     """
     import dataclasses
 
-    from podtpu.core.config import (fcos_config, mobilenet_config,
-                                    retinanet_config, ssd_config,
-                                    ssdlite_config)
+    from podtpu.core.config import (fasterrcnn_v2_config, fcos_config,
+                                    mobilenet_config, retinanet_config,
+                                    ssd_config, ssdlite_config)
     cfg = cfg or ModelConfig()
+    if family == "faster_rcnn_v2":
+        # Improved-recipe heads; the stored family stays 'faster_rcnn'
+        # (the v2-ness lives in the rpn_conv_depth/box_head_type/norm
+        # fields, so saved config.json rebuilds exactly).
+        cfg = fasterrcnn_v2_config(cfg)
+        family = "faster_rcnn"
     if family == "retinanet" and cfg.family != "retinanet":
         cfg = retinanet_config(cfg)
     if family == "fcos" and cfg.family != "fcos":

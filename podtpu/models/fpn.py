@@ -33,13 +33,26 @@ class FPN(nn.Module):
     # Index of the finest input level (naming only: C{first_level}..C5 in,
     # P{first_level}.. out).  Faster R-CNN uses C2.., RetinaNet C3..
     first_level: int = 2
+    # Frozen norm after each lateral/post conv (torchvision v2 recipe's
+    # ``FeaturePyramidNetwork(norm_layer=...)``; stats import frozen).
+    norm: bool = False
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
-        conv = lambda f, k, name, stride=1: nn.Conv(
-            f, (k, k), strides=(stride, stride),
-            padding=[(k // 2, k // 2)] * 2, dtype=self.dtype,
-            param_dtype=jnp.float32, name=name)
+        from podtpu.models.resnet import FrozenBatchNorm
+
+        def conv(f, k, name, stride=1):
+            def apply(x):
+                y = nn.Conv(
+                    f, (k, k), strides=(stride, stride),
+                    padding=[(k // 2, k // 2)] * 2, dtype=self.dtype,
+                    param_dtype=jnp.float32, use_bias=not self.norm,
+                    name=name)(x)
+                if self.norm:
+                    y = FrozenBatchNorm(f, dtype=self.dtype,
+                                        name=f"{name}_bn")(y)
+                return y
+            return apply
 
         f0 = self.first_level
         laterals = [

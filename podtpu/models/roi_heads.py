@@ -50,22 +50,59 @@ class BoxHead(nn.Module):
         return logits.astype(jnp.float32), deltas.astype(jnp.float32)
 
 
-class MaskHead(nn.Module):
-    """4x conv + deconv + per-class mask logits (MaskRCNNHeads +
-    MaskRCNNPredictor equivalent; reference `models.py:15-25`)."""
+class ConvFCBoxHead(nn.Module):
+    """4x (conv256 + frozen norm + relu) -> fc1024 -> class/box predictors
+    (torchvision ``FastRCNNConvFCHead`` — the v2 recipe's box head;
+    checkpoint BatchNorm statistics import into the frozen collection)."""
 
     num_classes: int
     channels: int = 256
+    hidden: int = 1024
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray):
+        from podtpu.models.resnet import FrozenBatchNorm
+
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         x = pooled.astype(self.dtype)
         for i in range(4):
-            x = nn.relu(nn.Conv(self.channels, (3, 3),
-                                padding=[(1, 1), (1, 1)],
-                                name=f"conv{i + 1}", **kw)(x))
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, name=f"conv{i + 1}", **kw)(x)
+            x = nn.relu(FrozenBatchNorm(self.channels, dtype=self.dtype,
+                                        name=f"bn{i + 1}")(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.hidden, name="fc", **kw)(x))
+        logits = nn.Dense(self.num_classes, name="cls", **kw)(x)
+        deltas = nn.Dense(self.num_classes * 4, name="reg", **kw)(x)
+        return logits.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+class MaskHead(nn.Module):
+    """4x conv + deconv + per-class mask logits (MaskRCNNHeads +
+    MaskRCNNPredictor equivalent; reference `models.py:15-25`).
+    ``norm=True`` adds frozen norms after the tower convs (the
+    ``maskrcnn_resnet50_fpn_v2`` head)."""
+
+    num_classes: int
+    channels: int = 256
+    norm: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray):
+        from podtpu.models.resnet import FrozenBatchNorm
+
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        x = pooled.astype(self.dtype)
+        for i in range(4):
+            x = nn.Conv(self.channels, (3, 3),
+                        padding=[(1, 1), (1, 1)], use_bias=not self.norm,
+                        name=f"conv{i + 1}", **kw)(x)
+            if self.norm:
+                x = FrozenBatchNorm(self.channels, dtype=self.dtype,
+                                    name=f"bn{i + 1}")(x)
+            x = nn.relu(x)
         x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
                                      name="deconv", **kw)(x))
         x = nn.Conv(self.num_classes, (1, 1), name="logits", **kw)(x)

@@ -29,16 +29,25 @@ from podtpu.ops.nms import NEG_INF, nms_keep
 
 
 class RPNHead(nn.Module):
-    """Shared conv head: objectness + box deltas for every FPN level."""
+    """Shared conv head: objectness + box deltas for every FPN level.
+
+    ``conv_depth`` > 1 stacks extra 3x3 convs before the predictors
+    (torchvision ``RPNHead(conv_depth=2)``, the v2 recipe).
+    """
 
     num_anchors: int
     channels: int = 256
+    conv_depth: int = 1
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
-        self.conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                            name="conv", **kw)
+        conv = lambda name: nn.Conv(self.channels, (3, 3),
+                                    padding=[(1, 1), (1, 1)], name=name,
+                                    **kw)
+        # First conv keeps the v1 name 'conv' (checkpoint compatibility).
+        self.convs = [conv("conv" if i == 0 else f"conv{i + 1}")
+                      for i in range(self.conv_depth)]
         self.objectness = nn.Conv(self.num_anchors, (1, 1), name="objectness",
                                   **kw)
         self.deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas", **kw)
@@ -53,7 +62,9 @@ class RPNHead(nn.Module):
         """
         logits, deltas = [], []
         for f in features:
-            h = nn.relu(self.conv(f))
+            h = f
+            for c in self.convs:
+                h = nn.relu(c(h))
             b = h.shape[0]
             obj = self.objectness(h)
             dlt = self.deltas(h)

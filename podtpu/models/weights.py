@@ -136,6 +136,81 @@ def torchvision_key_map() -> Dict[str, Tuple[str, str, callable]]:
     return m
 
 
+def fasterrcnn_v2_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``fasterrcnn_resnet50_fpn_v2`` /
+    ``maskrcnn_resnet50_fpn_v2`` state_dict -> podtpu paths.
+
+    v2 layout deltas vs v1: FPN inner/layer blocks are Conv2dNormActivation
+    (conv at ``.0`` WITHOUT bias, BatchNorm at ``.1`` -> frozen
+    ``*_bn``); the RPN tower is 2 deep (``rpn.head.conv.{0,1}.0``); the
+    box head is ``FastRCNNConvFCHead`` (``box_head.{0..3}.{0,1}`` conv+BN,
+    Flatten at 4, Linear at 5 -> ``box_head/fc`` with the NCHW->NHWC
+    input permute); the mask tower convs carry BN.  The ResNet trunk and
+    the predictors spell exactly like v1."""
+    m: Dict[str, Tuple[str, str, callable]] = {}
+    bb = "backbone.body"
+    m[f"{bb}.conv1.weight"] = ("params", "backbone/conv1/kernel", _conv)
+    bn_stats = (("weight", "weight"), ("bias", "bias"),
+                ("running_mean", "mean"), ("running_var", "var"))
+    for stat, ours in bn_stats:
+        m[f"{bb}.bn1.{stat}"] = ("frozen", f"backbone/bn1/{ours}", np.asarray)
+    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+        m.update(_bottleneck_names(f"{bb}.layer{stage}",
+                                   f"backbone/layer{stage}", blocks))
+    for i in range(4):
+        for tvn, ours in ((f"backbone.fpn.inner_blocks.{i}",
+                           f"fpn/lateral{i + 2}"),
+                          (f"backbone.fpn.layer_blocks.{i}",
+                           f"fpn/post{i + 2}")):
+            m[f"{tvn}.0.weight"] = ("params", f"{ours}/kernel", _conv)
+            for stat, o in bn_stats:
+                m[f"{tvn}.1.{stat}"] = ("frozen", f"{ours}_bn/{o}",
+                                        np.asarray)
+    for d, ours in ((0, "rpn_head/conv"), (1, "rpn_head/conv2")):
+        m[f"rpn.head.conv.{d}.0.weight"] = ("params", f"{ours}/kernel",
+                                            _conv)
+        m[f"rpn.head.conv.{d}.0.bias"] = ("params", f"{ours}/bias",
+                                          np.asarray)
+    for tvn, ours in (("rpn.head.cls_logits", "rpn_head/objectness"),
+                      ("rpn.head.bbox_pred", "rpn_head/deltas")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _conv)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    # ConvFC box head.
+    for i in range(4):
+        base = f"roi_heads.box_head.{i}"
+        m[f"{base}.0.weight"] = ("params", f"box_head/conv{i + 1}/kernel",
+                                 _conv)
+        for stat, o in bn_stats:
+            m[f"{base}.1.{stat}"] = ("frozen", f"box_head/bn{i + 1}/{o}",
+                                     np.asarray)
+    m["roi_heads.box_head.5.weight"] = (
+        "params", "box_head/fc/kernel",
+        lambda w: _fc6_from_torch(w, pooled_hw=7, channels=256))
+    m["roi_heads.box_head.5.bias"] = ("params", "box_head/fc/bias",
+                                      np.asarray)
+    for tvn, ours in (("roi_heads.box_predictor.cls_score", "box_head/cls"),
+                      ("roi_heads.box_predictor.bbox_pred", "box_head/reg")):
+        m[f"{tvn}.weight"] = ("params", f"{ours}/kernel", _dense)
+        m[f"{tvn}.bias"] = ("params", f"{ours}/bias", np.asarray)
+    # Mask tower (maskrcnn v2): Conv2dNormActivation blocks.
+    for i in range(1, 5):
+        base = f"roi_heads.mask_head.{i - 1}"
+        m[f"{base}.0.weight"] = ("params", f"mask_head/conv{i}/kernel",
+                                 _conv)
+        for stat, o in bn_stats:
+            m[f"{base}.1.{stat}"] = ("frozen", f"mask_head/bn{i}/{o}",
+                                     np.asarray)
+    m["roi_heads.mask_predictor.conv5_mask.weight"] = (
+        "params", "mask_head/deconv/kernel", _deconv)
+    m["roi_heads.mask_predictor.conv5_mask.bias"] = (
+        "params", "mask_head/deconv/bias", np.asarray)
+    m["roi_heads.mask_predictor.mask_fcn_logits.weight"] = (
+        "params", "mask_head/logits/kernel", _conv)
+    m["roi_heads.mask_predictor.mask_fcn_logits.bias"] = (
+        "params", "mask_head/logits/bias", np.asarray)
+    return m
+
+
 def retinanet_key_map() -> Dict[str, Tuple[str, str, callable]]:
     """torchvision ``retinanet_resnet50_fpn`` state_dict -> podtpu
     RetinaNet paths: same ResNet trunk map, 3-level FPN (C3..C5 laterals)
@@ -565,6 +640,8 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
             # Unsplit MobileNetV3 body = fasterrcnn_mobilenet_v3_large_fpn
             # (the ResNet body spells its stem "backbone.body.conv1").
             key_map = fasterrcnn_mobilenet_v3_key_map()
+        elif "rpn.head.conv.1.0.weight" in state_dict:
+            key_map = fasterrcnn_v2_key_map()  # 2-deep RPN tower = v2
         elif any(k.startswith("head.classification_head") for k
                  in state_dict):
             key_map = retinanet_key_map()

@@ -102,6 +102,13 @@ def train(project: Project,
 
     cfg = config or Config()
     model_cfg = cfg.model
+    if family == "faster_rcnn_v2":
+        # torchvision fasterrcnn/maskrcnn_resnet50_fpn_v2 heads; the
+        # stored family stays 'faster_rcnn' (v2-ness lives in config
+        # fields, so resume/inference rebuild exactly).
+        from podtpu.core.config import fasterrcnn_v2_config
+        model_cfg = fasterrcnn_v2_config(model_cfg)
+        family = "faster_rcnn"
     if family == "retinanet" and model_cfg.family != "retinanet":
         # One-stage focal-loss family (the torchvision-zoo model the
         # reference's vendored trainer exposes, `engine/train.py:219-221`).
