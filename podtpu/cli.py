@@ -130,13 +130,15 @@ def cli():
                    "families carry their own backbones")
 @click.option("--family", type=click.Choice(["faster_rcnn",
                                              "faster_rcnn_v2", "retinanet",
-                                             "fcos", "ssd", "ssdlite"]),
+                                             "retinanet_v2", "fcos", "ssd",
+                                             "ssdlite"]),
               default="faster_rcnn", show_default=True,
               help="Two-stage Faster R-CNN (v2 = improved-recipe heads; "
                    "with --with-mask this is Mask R-CNN v1/v2), one-stage "
-                   "RetinaNet (focal loss), anchor-free FCOS, SSD300-VGG16, "
-                   "or SSDLite320-MobileNetV3 (the SSD families use their "
-                   "own 300/320 canvas; --image-size is ignored)")
+                   "RetinaNet (v2 = GroupNorm subnets + GIoU), anchor-free "
+                   "FCOS, SSD300-VGG16, or SSDLite320-MobileNetV3 (the SSD "
+                   "families use their own 300/320 canvas; --image-size is "
+                   "ignored)")
 @click.option("--test-tasks", type=str, default=None,
               help="Comma-separated CVAT task ids held out for evaluation "
                    "(fixes the reference's same-task random split; default "

@@ -123,6 +123,11 @@ class ModelConfig:
     # (retinanet and fcos — same per-level top-k + merged-pool postprocess).
     retinanet_topk_per_level: int = 1000
     retinanet_nms_candidates: int = 5000
+    # v2 recipe (torchvision ``retinanet_resnet50_fpn_v2``; use
+    # ``retinanet_v2_config()``): GroupNorm(32) in both subnets and GIoU
+    # box regression instead of L1.
+    retinanet_head_norm: bool = False
+    retinanet_box_loss: str = "l1"  # 'l1' | 'giou'
 
     # FCOS (family='fcos'): anchor-free one-stage detector (torchvision's
     # ``fcos_resnet50_fpn``, another `engine/train.py:219-221` zoo model).
@@ -308,6 +313,16 @@ def retinanet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
         anchor_sizes=tuple(
             tuple(s * o for o in octave) for s in (32, 64, 128, 256, 512)),
         **kw)
+
+
+def retinanet_v2_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
+    """A ModelConfig matching torchvision's ``retinanet_resnet50_fpn_v2``:
+    the v1 pyramid/anchors/thresholds with GroupNorm(32) subnets and GIoU
+    box regression (``head.regression_head._loss_type = 'giou'``)."""
+    base = retinanet_config(cfg)
+    fields = dict(retinanet_head_norm=True, retinanet_box_loss="giou")
+    fields.update(kw)
+    return dataclasses.replace(base, **fields)
 
 
 def fcos_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":

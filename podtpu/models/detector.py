@@ -379,7 +379,11 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
         # fields, so saved config.json rebuilds exactly).
         cfg = fasterrcnn_v2_config(cfg)
         family = "faster_rcnn"
-    if family == "retinanet" and cfg.family != "retinanet":
+    if family == "retinanet_v2":
+        from podtpu.core.config import retinanet_v2_config
+        cfg = retinanet_v2_config(cfg)
+        family = "retinanet"
+    elif family == "retinanet" and cfg.family != "retinanet":
         cfg = retinanet_config(cfg)
     if family == "fcos" and cfg.family != "fcos":
         cfg = fcos_config(cfg)

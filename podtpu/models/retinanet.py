@@ -50,28 +50,37 @@ class RetinaNetHead(nn.Module):
     The final classification conv's bias is initialised to
     ``-log((1-p)/p)`` with prior p=0.01 (the focal-loss paper / torchvision
     ``RetinaNetClassificationHead``) so early training isn't swamped by
-    background gradients.
+    background gradients.  ``norm=True`` adds GroupNorm(32) after each
+    tower conv (torchvision ``retinanet_resnet50_fpn_v2``).
     """
 
     num_anchors: int
     num_classes: int
     channels: int = 256
+    norm: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
-        conv = lambda f, name, bias_init=nn.initializers.zeros: nn.Conv(
-            f, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.normal(0.01),
-            bias_init=bias_init, name=name)
-        self.cls_convs = [conv(self.channels, f"cls_conv{i}")
-                          for i in range(4)]
+        conv = lambda f, name, bias_init=nn.initializers.zeros, bias=True: \
+            nn.Conv(
+                f, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                param_dtype=jnp.float32, use_bias=bias,
+                kernel_init=nn.initializers.normal(0.01),
+                bias_init=bias_init, name=name)
+        gn = lambda name: nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
+        self.cls_convs = [conv(self.channels, f"cls_conv{i}",
+                               bias=not self.norm) for i in range(4)]
+        self.cls_gns = [gn(f"cls_gn{i}") for i in range(4)] if self.norm \
+            else None
         prior = -math.log((1.0 - 0.01) / 0.01)
         self.cls_logits = conv(
             self.num_anchors * self.num_classes, "cls_logits",
             bias_init=nn.initializers.constant(prior))
-        self.box_convs = [conv(self.channels, f"box_conv{i}")
-                          for i in range(4)]
+        self.box_convs = [conv(self.channels, f"box_conv{i}",
+                               bias=not self.norm) for i in range(4)]
+        self.box_gns = [gn(f"box_gn{i}") for i in range(4)] if self.norm \
+            else None
         self.box_deltas = conv(self.num_anchors * 4, "box_deltas")
 
     def __call__(self, features):
@@ -81,13 +90,19 @@ class RetinaNetHead(nn.Module):
         for f in features:
             b = f.shape[0]
             h = f
-            for c in self.cls_convs:
-                h = nn.relu(c(h))
+            for i, c in enumerate(self.cls_convs):
+                h = c(h)
+                if self.cls_gns is not None:
+                    h = self.cls_gns[i](h)
+                h = nn.relu(h)
             lg = self.cls_logits(h)
             logits.append(lg.reshape(b, -1, self.num_classes))
             h = f
-            for c in self.box_convs:
-                h = nn.relu(c(h))
+            for i, c in enumerate(self.box_convs):
+                h = c(h)
+                if self.box_gns is not None:
+                    h = self.box_gns[i](h)
+                h = nn.relu(h)
             dl = self.box_deltas(h)
             deltas.append(dl.reshape(b, -1, 4))
         return logits, deltas
@@ -123,7 +138,7 @@ class RetinaNet(nn.Module):
         self.head = RetinaNetHead(
             num_anchors=cfg.anchors_per_location,
             num_classes=cfg.num_classes, channels=cfg.fpn_channels,
-            dtype=dtype, name="head")
+            norm=cfg.retinanet_head_norm, dtype=dtype, name="head")
 
     def _anchors(self):
         cfg = self.cfg
@@ -176,11 +191,18 @@ class RetinaNet(nn.Module):
             fl = sigmoid_focal_loss(logits_i.astype(jnp.float32), tgt,
                                     cfg.focal_alpha, cfg.focal_gamma)
             cls_loss = (fl.sum(-1) * considered).sum()
-            # Box regression on foreground anchors (torchvision RetinaNet
-            # default: pure L1 on encoded deltas).
-            enc = box_ops.encode_boxes(gt_b[m.matched_idx], all_anchors)
-            l1 = jnp.abs(deltas_i.astype(jnp.float32) - enc).sum(-1)
-            box_loss = (l1 * fg).sum()
+            # Box regression on foreground anchors: L1 on encoded deltas
+            # (v1 default) or GIoU on decoded boxes (the v2 recipe's
+            # ``_loss_type = 'giou'``).
+            if cfg.retinanet_box_loss == "giou":
+                pred = box_ops.decode_boxes(
+                    deltas_i.astype(jnp.float32), all_anchors)
+                giou = box_ops.elementwise_giou(pred, gt_b[m.matched_idx])
+                box_loss = ((1.0 - giou) * fg).sum()
+            else:
+                enc = box_ops.encode_boxes(gt_b[m.matched_idx], all_anchors)
+                l1 = jnp.abs(deltas_i.astype(jnp.float32) - enc).sum(-1)
+                box_loss = (l1 * fg).sum()
             return cls_loss, box_loss, fg.sum()
 
         cls_sums, box_sums, num_fg = jax.vmap(per_image)(

@@ -260,6 +260,29 @@ def retinanet_key_map() -> Dict[str, Tuple[str, str, callable]]:
     return m
 
 
+def retinanet_v2_key_map() -> Dict[str, Tuple[str, str, callable]]:
+    """torchvision ``retinanet_resnet50_fpn_v2`` state_dict -> podtpu
+    paths: the v1 trunk/FPN/p6p7/logits spellings plus GroupNorm(32) in
+    the subnets (Conv2dNormActivation: conv at ``conv.{i}.0`` WITHOUT
+    bias, GN at ``conv.{i}.1`` -> flax scale/bias in 'params')."""
+    m = retinanet_key_map()
+    # Drop the v1 plain-Sequential subnet spellings (conv.{2i}) — a v2
+    # checkpoint never has them, and the conv.{i}.0 alias stays.
+    for i in range(4):
+        for tvh in ("classification_head", "regression_head"):
+            m.pop(f"head.{tvh}.conv.{2 * i}.weight", None)
+            m.pop(f"head.{tvh}.conv.{2 * i}.bias", None)
+    for i in range(4):
+        for tvh, ours in (("classification_head", "cls"),
+                          ("regression_head", "box")):
+            base = f"head.{tvh}.conv.{i}.1"
+            m[f"{base}.weight"] = ("params", f"head/{ours}_gn{i}/scale",
+                                   np.asarray)
+            m[f"{base}.bias"] = ("params", f"head/{ours}_gn{i}/bias",
+                                 np.asarray)
+    return m
+
+
 def fcos_key_map() -> Dict[str, Tuple[str, str, callable]]:
     """torchvision ``fcos_resnet50_fpn`` state_dict -> podtpu FCOS paths.
 
@@ -636,6 +659,8 @@ def convert_torchvision_state_dict(state_dict: Dict, variables: Dict,
             key_map = ssd_vgg16_key_map()      # plain ImageNet vgg16 trunk
         elif "head.regression_head.bbox_ctrness.weight" in state_dict:
             key_map = fcos_key_map()           # ctrness branch = FCOS
+        elif "head.classification_head.conv.0.1.weight" in state_dict:
+            key_map = retinanet_v2_key_map()   # GN subnets = retinanet v2
         elif any(k.startswith("backbone.body.0.0") for k in state_dict):
             # Unsplit MobileNetV3 body = fasterrcnn_mobilenet_v3_large_fpn
             # (the ResNet body spells its stem "backbone.body.conv1").

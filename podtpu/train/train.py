@@ -109,7 +109,13 @@ def train(project: Project,
         from podtpu.core.config import fasterrcnn_v2_config
         model_cfg = fasterrcnn_v2_config(model_cfg)
         family = "faster_rcnn"
-    if family == "retinanet" and model_cfg.family != "retinanet":
+    if family == "retinanet_v2":
+        # GroupNorm subnets + GIoU regression (retinanet_resnet50_fpn_v2);
+        # the stored family stays 'retinanet'.
+        from podtpu.core.config import retinanet_v2_config
+        model_cfg = retinanet_v2_config(model_cfg)
+        family = "retinanet"
+    elif family == "retinanet" and model_cfg.family != "retinanet":
         # One-stage focal-loss family (the torchvision-zoo model the
         # reference's vendored trainer exposes, `engine/train.py:219-221`).
         from podtpu.core.config import retinanet_config

@@ -268,6 +268,99 @@ class TestRetinaNetWeightImport:
             np.testing.assert_allclose(np.asarray(node), want, rtol=1e-6)
 
 
+class TestRetinaNetV2:
+    def micro_v2_cfg(self):
+        import dataclasses as dc
+
+        from podtpu.core.config import retinanet_v2_config
+        return dc.replace(
+            retinanet_v2_config(tiny_config().model), num_classes=3,
+            image_size=(128, 128), max_gt_boxes=8, detections_per_image=8,
+            compute_dtype="float32", retinanet_topk_per_level=64,
+            retinanet_nms_candidates=128)
+
+    def test_config_and_build_spelling(self):
+        from podtpu.core.config import retinanet_v2_config
+        from podtpu.models.detector import build_model
+
+        cfg = retinanet_v2_config()
+        assert cfg.family == "retinanet"
+        assert cfg.retinanet_head_norm and cfg.retinanet_box_loss == "giou"
+        _, built = build_model(3, family="retinanet_v2")
+        assert built.family == "retinanet"
+        assert built.retinanet_head_norm
+
+    def test_gn_towers_and_giou_loss(self):
+        from podtpu.models.detector import init_variables, make_detector
+
+        cfg = self.micro_v2_cfg()
+        model = make_detector(cfg)
+        variables = init_variables(model, jax.random.key(0))
+        head = variables["params"]["head"]
+        assert {"cls_gn0", "cls_gn3", "box_gn0", "box_gn3"} <= set(head)
+        # Normed tower convs have no bias.
+        assert "bias" not in head["cls_conv0"]
+        assert "bias" in head["cls_logits"]
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)),
+                             jnp.float32)
+        gxy = rng.uniform(0, 80, (1, 8, 2)).astype(np.float32)
+        gwh = rng.uniform(10, 40, (1, 8, 2)).astype(np.float32)
+        gt = {"boxes": jnp.asarray(np.concatenate([gxy, gxy + gwh], -1)),
+              "labels": jnp.ones((1, 8), jnp.int32),
+              "valid": jnp.ones((1, 8), bool)}
+        losses = model.apply(variables, images, gt=gt, train=True,
+                             rng=jax.random.key(1))
+        # GIoU regression is bounded in [0, 2] per foreground anchor
+        # (normalised by num_fg), unlike unbounded encoded-delta L1.
+        assert 0.0 <= float(losses["bbox_regression"]) <= 2.0
+        det = model.apply(variables, images, train=False)
+        assert det.boxes.shape == (1, 8, 4)
+
+    def test_v2_weight_import_roundtrip(self):
+        from podtpu.models.detector import init_variables, make_detector
+        from podtpu.models.weights import (_conv,
+                                           convert_torchvision_state_dict,
+                                           retinanet_v2_key_map)
+
+        cfg = self.micro_v2_cfg()
+        variables = init_variables(make_detector(cfg), jax.random.key(0))
+        rng = np.random.default_rng(0)
+        sd, targets = {}, {}
+        seen = set()
+        for torch_key, (coll, path, tr) in retinanet_v2_key_map().items():
+            dedupe = (coll, path, torch_key.rsplit(".", 1)[-1])
+            if dedupe in seen:
+                continue
+            node = variables[coll]
+            ok = True
+            for k in path.split("/"):
+                if k not in node:
+                    ok = False
+                    break
+                node = node[k]
+            if not ok:
+                continue
+            seen.add(dedupe)
+            target = rng.normal(size=np.asarray(node).shape).astype(
+                np.float32)
+            targets[(coll, path)] = target
+            sd[torch_key] = np.transpose(target, (3, 2, 0, 1)) \
+                if tr is _conv else target
+        assert "head.classification_head.conv.0.1.weight" in sd  # GN
+        assert len(sd) > 300
+        out, (loaded, skipped) = convert_torchvision_state_dict(
+            sd, variables, return_stats=True)  # no key_map: auto-detect
+        assert loaded == len(sd)
+        assert not skipped
+        for (coll, path), want in targets.items():
+            node = out[coll]
+            for k in path.split("/"):
+                node = node[k]
+            np.testing.assert_allclose(np.asarray(node), want, rtol=1e-6)
+
+
 class TestPostprocessIndexing:
     def test_hot_anchor_class_decodes_to_expected_box(self):
         """Pin the (anchor, class) decomposition of the per-level top-k:
