@@ -126,8 +126,8 @@ def cli():
               help="Backbone: ResNet-50-FPN (default), single-map "
                    "MobileNetV2, or MobileNetV3-Large-FPN (the '320' "
                    "spelling selects the low-res/low-compute recipe). "
-                   "Only applies to --family faster_rcnn; the SSD "
-                   "families carry their own backbones")
+                   "Only applies to --family faster_rcnn (the v2 recipe "
+                   "and the SSD families carry their own backbones)")
 @click.option("--family", type=click.Choice(["faster_rcnn",
                                              "faster_rcnn_v2", "retinanet",
                                              "retinanet_v2", "fcos", "ssd",

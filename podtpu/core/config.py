@@ -124,10 +124,12 @@ class ModelConfig:
     retinanet_topk_per_level: int = 1000
     retinanet_nms_candidates: int = 5000
     # v2 recipe (torchvision ``retinanet_resnet50_fpn_v2``; use
-    # ``retinanet_v2_config()``): GroupNorm(32) in both subnets and GIoU
-    # box regression instead of L1.
+    # ``retinanet_v2_config()``): GroupNorm(32) in both subnets, GIoU
+    # box regression instead of L1, and P6 built from C5 (2048ch,
+    # ``LastLevelP6P7(2048, 256)``) instead of from P5.
     retinanet_head_norm: bool = False
     retinanet_box_loss: str = "l1"  # 'l1' | 'giou'
+    retinanet_p6_on_c5: bool = False
 
     # FCOS (family='fcos'): anchor-free one-stage detector (torchvision's
     # ``fcos_resnet50_fpn``, another `engine/train.py:219-221` zoo model).
@@ -317,10 +319,15 @@ def retinanet_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
 
 def retinanet_v2_config(cfg: "ModelConfig" = None, **kw) -> "ModelConfig":
     """A ModelConfig matching torchvision's ``retinanet_resnet50_fpn_v2``:
-    the v1 pyramid/anchors/thresholds with GroupNorm(32) subnets and GIoU
-    box regression (``head.regression_head._loss_type = 'giou'``)."""
-    base = retinanet_config(cfg)
-    fields = dict(retinanet_head_norm=True, retinanet_box_loss="giou")
+    the v1 pyramid/anchors/thresholds with GroupNorm(32) subnets, GIoU
+    box regression (``head.regression_head._loss_type = 'giou'``), and
+    P6 built from C5 (``LastLevelP6P7(2048, 256)`` — v1 builds it from
+    P5).  A cfg already carrying the retinanet preset keeps its (possibly
+    user-tuned) anchors/strides, mirroring the v1 path's guard."""
+    base = cfg if (cfg is not None and cfg.family == "retinanet") \
+        else retinanet_config(cfg)
+    fields = dict(retinanet_head_norm=True, retinanet_box_loss="giou",
+                  retinanet_p6_on_c5=True)
     fields.update(kw)
     return dataclasses.replace(base, **fields)
 

@@ -245,6 +245,7 @@ class PolygonAnnotation(Annotation):
         track_idx=0,
         track_len=1,
         shape="polygon",
+        keypoints=None,
     ):
         super().__init__(label=label, score=score, annotator=annotator,
                          validator=validator, uid=uid)
@@ -254,6 +255,10 @@ class PolygonAnnotation(Annotation):
         self.track_idx = track_idx
         self.track_len = track_len
         self.shape = "polygon"
+        # Optional instance keypoints (same (x, y, visibility) convention
+        # as RectangleAnnotation — COCO person_keypoints annotations carry
+        # BOTH a segmentation polygon and keypoint triples).
+        self.keypoints = keypoints
 
     # -- geometry ------------------------------------------------------------
     @property
@@ -307,11 +312,14 @@ class PolygonAnnotation(Annotation):
 
     # -- serialisation -------------------------------------------------------
     def to_dict(self) -> dict:
-        return dict(shape="polygon", xs=self.xs, ys=self.ys, label=self.label,
-                    score=self.score, annotator=self.annotator,
-                    validator=self.validator, uid=self.uid,
-                    track_id=self.track_id, track_idx=self.track_idx,
-                    track_len=self.track_len)
+        d = dict(shape="polygon", xs=self.xs, ys=self.ys, label=self.label,
+                 score=self.score, annotator=self.annotator,
+                 validator=self.validator, uid=self.uid,
+                 track_id=self.track_id, track_idx=self.track_idx,
+                 track_len=self.track_len)
+        if self.keypoints is not None:
+            d["keypoints"] = [list(kp) for kp in self.keypoints]
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "PolygonAnnotation":

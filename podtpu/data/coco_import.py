@@ -63,14 +63,12 @@ def load_coco_json(annotations_json: str, image_root: str,
         if isinstance(seg, list) and seg and isinstance(seg[0], list) \
                 and len(seg[0]) >= 6 and not ann.get("iscrowd", 0):
             pts = seg[0]
-            new = PolygonAnnotation(pts[0::2], pts[1::2], label,
-                                    uid=ann.get("id"))
             # person_keypoints_*.json annotations carry BOTH segmentation
-            # and keypoints: keep the polygon (mask training) and attach
-            # the triples (every consumer reads them via getattr).
-            if keypoints is not None:
-                new.keypoints = keypoints
-            meta.add_annotation(new)
+            # and keypoints: keep the polygon (mask training) with the
+            # triples attached.
+            meta.add_annotation(PolygonAnnotation(
+                pts[0::2], pts[1::2], label, uid=ann.get("id"),
+                keypoints=keypoints))
         else:
             x, y, w, h = ann["bbox"]
             meta.add_annotation(RectangleAnnotation(

@@ -173,6 +173,28 @@ POLICIES = {
 }
 
 
+def policy_kwargs(cfg) -> dict:
+    """Per-config policy kwargs — the ONE place the train-step builders
+    (single-device and DP) derive them, so the chiral-skeleton rules can't
+    drift between the two:
+
+    * 'miso' forwards the photometric-distort switch;
+    * a configured keypoint hflip permutation is passed through, and a
+      NON-identity one (chiral skeleton) disables the miso policy's
+      vertical flip (no vertical joint remap exists).
+    """
+    kw = {}
+    if cfg.data.aug_policy == "miso":
+        kw["distort"] = cfg.data.photometric_distort
+    if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
+        inds = tuple(cfg.model.keypoint_hflip_inds)
+        kw["kp_hflip_inds"] = inds
+        if cfg.data.aug_policy == "miso" \
+                and inds != tuple(range(len(inds))):
+            kw["vflip_prob"] = 0.0
+    return kw
+
+
 def get_policy(name: str) -> AugmentFn:
     if name not in POLICIES:
         raise ValueError(

@@ -431,6 +431,12 @@ def build_model(num_classes: int, cfg: Optional[ModelConfig] = None,
             cfg, low_res=(backbone == "mobilenet_v3_320_fpn"))
     elif backbone is not None and backbone != cfg.backbone:
         cfg = dataclasses.replace(cfg, backbone=backbone)
+    if (cfg.rpn_conv_depth != 1 or cfg.box_head_type != "mlp"
+            or cfg.fpn_norm) and cfg.backbone != "resnet50_fpn":
+        raise ValueError(
+            "family='faster_rcnn_v2' requires the ResNet-50-FPN backbone "
+            "(torchvision has no v2 recipe for the mobilenet extractors, "
+            "and their FPN/head wiring differs)")
     cfg = dataclasses.replace(
         cfg, num_classes=num_classes,
         with_mask=with_mask or cfg.with_mask,

@@ -70,7 +70,10 @@ class FCOSHead(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=bias_init, name=name)
-        gn = lambda name: nn.GroupNorm(num_groups=32, dtype=self.dtype,
+        # epsilon matches torch nn.GroupNorm (1e-5; flax defaults 1e-6) so
+        # imported checkpoints normalise identically.
+        gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                       dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
         self.cls_convs = [conv(self.channels, f"cls_conv{i}")
                           for i in range(4)]

@@ -36,6 +36,11 @@ class FPN(nn.Module):
     # Frozen norm after each lateral/post conv (torchvision v2 recipe's
     # ``FeaturePyramidNetwork(norm_layer=...)``; stats import frozen).
     norm: bool = False
+    # For extra="p6p7": build P6 from the RAW coarsest input (C5, e.g.
+    # 2048ch — torchvision ``LastLevelP6P7(2048, 256)``, the
+    # retinanet_resnet50_fpn_v2 wiring) instead of from P5
+    # (``LastLevelP6P7(256, 256)``, the v1/FCOS wiring).
+    p6_on_c5: bool = False
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
@@ -82,6 +87,7 @@ class FPN(nn.Module):
             p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
             return tuple(outs) + (p6,)
         assert self.extra == "p6p7", self.extra
-        p6 = conv(self.out_channels, 3, "p6", stride=2)(outs[-1])
+        p6_in = inputs[-1] if self.p6_on_c5 else outs[-1]
+        p6 = conv(self.out_channels, 3, "p6", stride=2)(p6_in)
         p7 = conv(self.out_channels, 3, "p7", stride=2)(nn.relu(p6))
         return tuple(outs) + (p6, p7)

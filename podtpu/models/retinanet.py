@@ -67,7 +67,10 @@ class RetinaNetHead(nn.Module):
                 param_dtype=jnp.float32, use_bias=bias,
                 kernel_init=nn.initializers.normal(0.01),
                 bias_init=bias_init, name=name)
-        gn = lambda name: nn.GroupNorm(num_groups=32, dtype=self.dtype,
+        # epsilon matches torch nn.GroupNorm (1e-5; flax defaults 1e-6) so
+        # imported v2 checkpoints normalise identically.
+        gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                       dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
         self.cls_convs = [conv(self.channels, f"cls_conv{i}",
                                bias=not self.norm) for i in range(4)]
@@ -134,7 +137,8 @@ class RetinaNet(nn.Module):
             trainable_stages=cfg.trainable_backbone_stages,
             stem_space_to_depth=cfg.stem_space_to_depth, name="backbone")
         self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
-                       extra="p6p7", first_level=3, name="fpn")
+                       extra="p6p7", first_level=3,
+                       p6_on_c5=cfg.retinanet_p6_on_c5, name="fpn")
         self.head = RetinaNetHead(
             num_anchors=cfg.anchors_per_location,
             num_classes=cfg.num_classes, channels=cfg.fpn_channels,

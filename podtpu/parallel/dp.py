@@ -53,18 +53,11 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
     batch_spec = P(axis_name)
     replicated = P()
 
-    from podtpu.data.presets import augment_batch_policy, get_policy
+    from podtpu.data.presets import (augment_batch_policy, get_policy,
+                                     policy_kwargs)
 
     policy = get_policy(cfg.data.aug_policy)
-    policy_kw = {"distort": cfg.data.photometric_distort} \
-        if cfg.data.aug_policy == "miso" else {}
-    if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
-        policy_kw["kp_hflip_inds"] = tuple(cfg.model.keypoint_hflip_inds)
-        inds = policy_kw["kp_hflip_inds"]
-        if cfg.data.aug_policy == "miso" \
-                and inds != tuple(range(len(inds))):
-            # Chiral skeleton: no vertical joint remap exists (see step.py).
-            policy_kw["vflip_prob"] = 0.0
+    policy_kw = policy_kwargs(cfg)
 
     def per_shard(state: TrainState, batch: Dict, rng: jax.Array, lr):
         # Distinct augmentation / sampler streams per shard.

@@ -75,19 +75,11 @@ def create_train_state(variables, tx) -> TrainState:
 def make_train_step(model: FasterRCNN, tx, cfg: Config):
     """Build the jitted train step: (state, batch, rng, lr) -> (state, metrics)."""
 
-    from podtpu.data.presets import augment_batch_policy, get_policy
+    from podtpu.data.presets import (augment_batch_policy, get_policy,
+                                     policy_kwargs)
 
     policy = get_policy(cfg.data.aug_policy)
-    policy_kw = {"distort": cfg.data.photometric_distort} \
-        if cfg.data.aug_policy == "miso" else {}
-    if cfg.model.with_keypoints and cfg.model.keypoint_hflip_inds:
-        policy_kw["kp_hflip_inds"] = tuple(cfg.model.keypoint_hflip_inds)
-        inds = policy_kw["kp_hflip_inds"]
-        if cfg.data.aug_policy == "miso" \
-                and inds != tuple(range(len(inds))):
-            # Chiral skeleton: hflip has a left/right remap but vflip has
-            # none — vertical flips would corrupt joint identity.
-            policy_kw["vflip_prob"] = 0.0
+    policy_kw = policy_kwargs(cfg)
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array,
                 lr: jnp.ndarray):

@@ -175,6 +175,11 @@ def train(project: Project,
             model_cfg, low_res=(backbone == "mobilenet_v3_320_fpn"))
     elif backbone is not None:
         model_cfg = dataclasses.replace(model_cfg, backbone=backbone)
+    if (model_cfg.rpn_conv_depth != 1 or model_cfg.box_head_type != "mlp"
+            or model_cfg.fpn_norm) and model_cfg.backbone != "resnet50_fpn":
+        raise ValueError(
+            "family='faster_rcnn_v2' requires the ResNet-50-FPN backbone "
+            "(torchvision has no v2 recipe for the mobilenet extractors)")
 
     print()
     print("=" * 80)

@@ -286,9 +286,37 @@ class TestRetinaNetV2:
         cfg = retinanet_v2_config()
         assert cfg.family == "retinanet"
         assert cfg.retinanet_head_norm and cfg.retinanet_box_loss == "giou"
+        assert cfg.retinanet_p6_on_c5  # LastLevelP6P7(2048, 256)
         _, built = build_model(3, family="retinanet_v2")
         assert built.family == "retinanet"
         assert built.retinanet_head_norm
+
+    def test_v2_config_preserves_tuned_retinanet_fields(self):
+        """A cfg already carrying the retinanet preset keeps user-tuned
+        anchors/strides (the v1 path's guard, mirrored)."""
+        import dataclasses as dc
+
+        from podtpu.core.config import retinanet_config, retinanet_v2_config
+
+        tuned = dc.replace(retinanet_config(),
+                           anchor_sizes=((16.0,),) * 5)
+        v2 = retinanet_v2_config(tuned)
+        assert v2.anchor_sizes == ((16.0,),) * 5
+        assert v2.retinanet_box_loss == "giou"
+
+    def test_v2_p6_reads_c5(self):
+        """v2's P6 conv consumes the 2048-channel C5 (torchvision
+        LastLevelP6P7(2048, 256)); v1's consumes the 256-channel P5."""
+        from podtpu.models.detector import init_variables, make_detector
+
+        v2 = init_variables(make_detector(self.micro_v2_cfg()),
+                            jax.random.key(0))
+        assert v2["params"]["fpn"]["p6"]["kernel"].shape == (3, 3, 2048,
+                                                             256)
+        v1 = init_variables(make_detector(micro_retina_cfg()),
+                            jax.random.key(0))
+        assert v1["params"]["fpn"]["p6"]["kernel"].shape == (3, 3, 256,
+                                                             256)
 
     def test_gn_towers_and_giou_loss(self):
         from podtpu.models.detector import init_variables, make_detector

@@ -40,6 +40,16 @@ class TestConfig:
         _, mcfg = build_model(3, family="faster_rcnn_v2", with_mask=True)
         assert mcfg.with_mask and mcfg.mask_head_norm
 
+    def test_v2_rejects_mobilenet_backbones(self):
+        """No torchvision v2 recipe exists for the mobilenet extractors;
+        a silent half-applied recipe (fpn_norm recorded but not built)
+        must not be constructible."""
+        from podtpu.models.detector import build_model
+
+        for bb in ("mobilenet_v2", "mobilenet_v3_fpn"):
+            with pytest.raises(ValueError, match="ResNet-50-FPN"):
+                build_model(3, family="faster_rcnn_v2", backbone=bb)
+
 
 class TestModel:
     @pytest.fixture(scope="class")
