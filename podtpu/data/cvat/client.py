@@ -269,7 +269,10 @@ class CvatTask:
                 prev_frame, prev_p = frame_idx, p
                 seq_idx += 1
 
-        # Plain shapes.
+        # Plain shapes.  Rectangles/polygons first (remembering their CVAT
+        # group ids), then "points" shapes are attached to an instance.
+        created = []  # (frame, group, annotation)
+        pending_points = []
         for shape in self.shapes:
             label = self.label_dict_by_id[shape["label_id"]]["name"]
             image = frame_to_image.get(shape["frame"])
@@ -277,16 +280,66 @@ class CvatTask:
                 continue
             p = np.asarray(shape["points"], dtype=np.float64)
             if shape["type"] == "rectangle":
-                image.boxes.append(RectangleAnnotation(
+                ann = RectangleAnnotation(
                     p[0], p[1], p[2] - p[0], p[3] - p[1], label,
-                    track_id=shape.get("id")))
+                    track_id=shape.get("id"))
+                image.boxes.append(ann)
+                created.append((shape["frame"], shape.get("group") or 0,
+                                ann))
             elif shape["type"] == "polygon":
                 # First-class polygons (box views via .coords/.bounds; mask
                 # targets via .rasterize); the reference silently skipped
                 # these (cvat_web_api.py:279-280,302-303).
-                image.boxes.append(PolygonAnnotation(
+                ann = PolygonAnnotation(
                     p[0::2].tolist(), p[1::2].tolist(), label,
-                    uid=shape.get("id")))
+                    uid=shape.get("id"))
+                image.boxes.append(ann)
+                created.append((shape["frame"], shape.get("group") or 0,
+                                ann))
+            elif shape["type"] == "points":
+                pending_points.append(shape)
+
+        # Keypoints: a CVAT "points" shape becomes the (x, y, v) triples of
+        # an instance (the reference skipped points like polygons).  The
+        # owning instance is found by the shapes' shared CVAT group id,
+        # else the smallest same-frame box containing the points' centroid;
+        # ungrouped free points become a standalone box over their extent.
+        for shape in pending_points:
+            image = frame_to_image.get(shape["frame"])
+            if image is None:
+                continue
+            label = self.label_dict_by_id[shape["label_id"]]["name"]
+            p = np.asarray(shape["points"], dtype=np.float64)
+            vis = 1.0 if shape.get("occluded") else 2.0
+            kps = [(float(x), float(y), vis)
+                   for x, y in zip(p[0::2], p[1::2])]
+            group = shape.get("group") or 0
+            frame_anns = [(g, a) for f, g, a in created
+                          if f == shape["frame"]]
+            target = None
+            if group:
+                grouped = [a for g, a in frame_anns if g == group]
+                target = grouped[0] if grouped else None
+            if target is None:
+                cx, cy = float(p[0::2].mean()), float(p[1::2].mean())
+                containing = [
+                    a for _, a in frame_anns
+                    if a.coords[0] <= cx <= a.coords[2]
+                    and a.coords[1] <= cy <= a.coords[3]]
+                if containing:
+                    target = min(
+                        containing,
+                        key=lambda a: (a.coords[2] - a.coords[0])
+                        * (a.coords[3] - a.coords[1]))
+            if target is not None \
+                    and getattr(target, "keypoints", None) is None:
+                target.keypoints = kps
+            else:
+                x1, y1 = float(p[0::2].min()), float(p[1::2].min())
+                x2, y2 = float(p[0::2].max()), float(p[1::2].max())
+                image.boxes.append(RectangleAnnotation(
+                    x1, y1, x2 - x1, y2 - y1, label,
+                    track_id=shape.get("id"), keypoints=kps))
 
     # -- uploading -----------------------------------------------------------
     def add_missing_labels(self, project: Project) -> None:
@@ -316,14 +369,40 @@ class CvatTask:
         print(f"Add labels result: {resp.status_code}")
 
     def add_shapes(self, project: Project) -> None:
-        """Push every box of ``project`` as new task annotations."""
+        """Push every annotation of ``project`` as new task annotations.
+
+        Rectangles upload with int coords (the reference's behavior,
+        `cvat_web_api.py:424-432`); PolygonAnnotations upload as real
+        CVAT polygon shapes (e.g. mask-model contours from ``infer()``);
+        instance keypoints upload as a companion "points" shape sharing a
+        fresh group id with its box — the same linkage the import side
+        resolves."""
         self.add_missing_labels(project)
         shapes = []
+        group_counter = 0
         for image in project.image_dict.values():
             for box in image.boxes:
-                shapes.append(labeled_shape_json(
-                    list(box.coords_int), image.frame_id,
-                    self.label_dict_by_name[box.label]["id"]))
+                label_id = self.label_dict_by_name[box.label]["id"]
+                kps = getattr(box, "keypoints", None)
+                group = 0
+                if kps:
+                    group_counter += 1
+                    group = group_counter
+                if isinstance(box, PolygonAnnotation):
+                    pts = [float(v) for xy in zip(box.xs, box.ys)
+                           for v in xy]
+                    shapes.append(labeled_shape_json(
+                        pts, image.frame_id, label_id,
+                        shape_type="polygon", group=group))
+                else:
+                    shapes.append(labeled_shape_json(
+                        list(box.coords_int), image.frame_id, label_id,
+                        group=group))
+                if kps:
+                    flat = [float(v) for kp in kps for v in kp[:2]]
+                    shapes.append(labeled_shape_json(
+                        flat, image.frame_id, label_id,
+                        shape_type="points", group=group))
         body = labeled_data_json(shapes=shapes)
         url = (f"{self.server}/{self.api}/tasks/{self.task_id}"
                f"/annotations?action=create")

@@ -61,6 +61,46 @@ class TestLoad:
         assert poly_box.label == "Foram"
         assert poly_box.bounds == (0.0, 0.0, 10.0, 10.0)
 
+    def test_points_shapes_become_keypoints(self, image_root):
+        """CVAT 'points' shapes (skipped by the reference,
+        cvat_web_api.py:279-280) attach to an instance: by shared group
+        id first, else the smallest containing box, else a standalone
+        box over their extent."""
+        shapes = [
+            # Grouped pair: rectangle + points share group 7.
+            {"id": 1, "type": "rectangle", "frame": 0, "label_id": 10,
+             "points": [10.0, 10.0, 50.0, 50.0], "group": 7,
+             "outside": False},
+            {"id": 2, "type": "points", "frame": 0, "label_id": 10,
+             "points": [20.0, 20.0, 30.0, 40.0], "group": 7,
+             "outside": False},
+            # Ungrouped points inside two nested boxes -> the smaller one.
+            {"id": 3, "type": "rectangle", "frame": 1, "label_id": 10,
+             "points": [0.0, 0.0, 30.0, 30.0], "outside": False},
+            {"id": 4, "type": "rectangle", "frame": 1, "label_id": 10,
+             "points": [5.0, 5.0, 20.0, 20.0], "outside": False},
+            {"id": 5, "type": "points", "frame": 1, "label_id": 10,
+             "points": [10.0, 10.0, 12.0, 12.0], "outside": False,
+             "occluded": True},
+            # Free points, no box anywhere near -> standalone box.
+            {"id": 6, "type": "points", "frame": 2, "label_id": 11,
+             "points": [1.0, 2.0, 9.0, 6.0], "outside": False},
+        ]
+        with FakeCvatServer(make_state(shapes=shapes)) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+        images = {im.frame_id: im for im in task.project.images}
+        (grouped,) = images[0].boxes
+        assert grouped.keypoints == [(20.0, 20.0, 2.0), (30.0, 40.0, 2.0)]
+        big, small = sorted(images[1].boxes, key=lambda b: -b.area)
+        assert big.keypoints is None
+        # Occluded points carry visibility 1.
+        assert small.keypoints == [(10.0, 10.0, 1.0), (12.0, 12.0, 1.0)]
+        (standalone,) = images[2].boxes
+        assert standalone.label == "Foram"
+        assert standalone.bounds == (1.0, 2.0, 8.0, 4.0)
+        assert standalone.keypoints == [(1.0, 2.0, 2.0), (9.0, 6.0, 2.0)]
+
     def test_track_interpolation(self, image_root):
         tracks = [{
             "id": 99, "label_id": 10, "frame": 0,
@@ -114,6 +154,37 @@ class TestUpload:
         assert shape["frame"] == im.frame_id
         # coords_int rounding.
         assert shape["points"] == [1, 3, 11, 13]
+
+    def test_add_shapes_uploads_polygons_and_keypoints(self, image_root):
+        """PolygonAnnotations upload as real polygon shapes; instance
+        keypoints upload as a companion 'points' shape sharing a fresh
+        group id with their box."""
+        from podtpu.data.annotation import PolygonAnnotation
+
+        state = make_state()
+        with FakeCvatServer(state) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+            detections = Project()
+            im = task.project.images[0]
+            im.boxes.append(PolygonAnnotation(
+                [1.0, 9.0, 5.0], [1.0, 1.0, 8.0], "Coccolith", score=0.8))
+            im.boxes.append(RectangleAnnotation(
+                10, 10, 20, 20, "Foram", score=0.9,
+                keypoints=[(15.0, 15.0, 2.0), (25.0, 20.0, 0.5)]))
+            detections.add_image(im)
+            task.add_shapes(detections)
+        patch = [p for p in state.patches if "annotations" in p["path"]][-1]
+        shapes = patch["body"]["shapes"]
+        assert [s["type"] for s in shapes] == ["polygon", "rectangle",
+                                               "points"]
+        poly, rect, pts = shapes
+        assert poly["points"] == [1.0, 1.0, 9.0, 1.0, 5.0, 8.0]
+        assert poly["label_id"] == 10
+        # Box + its keypoints share a fresh nonzero group id.
+        assert rect["group"] == pts["group"] > 0
+        assert pts["points"] == [15.0, 15.0, 25.0, 20.0]
+        assert pts["label_id"] == 11
 
     def test_add_missing_labels(self, image_root):
         state = make_state()

@@ -1,0 +1,85 @@
+"""Convergence evidence for the remaining detector families on TPU.
+
+Trains each family from scratch on the synthetic particle task through
+the product ``train()`` path and scores the held-out split — the same rig
+as tools/convergence_1024.py / convergence_retinanet.py / convergence_fcos
+.py, covering the families those scripts don't: the SSD zoo pair (their
+own 300/320 canvases) and the two mobilenet Faster R-CNN variants.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site nohup python -u \
+      tools/convergence_families.py > /tmp/conv_fams.log 2>&1 &
+Select a subset:  ... convergence_families.py ssd ssdlite
+"""
+import json
+import sys
+import tempfile
+
+import jax
+
+from podtpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+from podtpu.data.dataset import DetectionDataset, train_test_split
+from podtpu.data.loader import Loader
+from podtpu.models.detector import make_detector
+from podtpu.train.checkpoints import load_model
+from podtpu.train.evaluate import evaluate
+from podtpu.train.step import make_eval_step
+from podtpu.train.train import train
+from tests.synthetic import make_project
+
+# name -> (train() kwargs, canvas for the synthetic images, max epochs)
+RUNS = {
+    # SSD families carry their own canvas; images are rendered at it so
+    # the fit-resize is identity.
+    "ssd": (dict(family="ssd"), 300, 40),
+    "ssdlite": (dict(family="ssdlite"), 320, 40),
+    "mobilenet_v2": (dict(backbone="mobilenet_v2"), 512, 16),
+    "mobilenet_v3_fpn": (dict(backbone="mobilenet_v3_fpn"), 512, 16),
+}
+
+
+def run_one(name, kwargs, canvas, epochs):
+    root = tempfile.mkdtemp(prefix=f"podtpu_conv_{name}_")
+    project = make_project(root, num_images=60,
+                           image_size=(canvas, canvas), max_boxes=6, seed=7)
+    cfg = Config(model=ModelConfig(image_size=(canvas, canvas),
+                                   compute_dtype="bfloat16"),
+                 train=TrainConfig(warmup_iters=100, log_every=10,
+                                   clip_grad_norm=10.0),
+                 data=DataConfig(num_workers=4))
+    out = train(project, labels=["particle"], output_dir=root,
+                name=f"conv_{name}", batch_size=8, max_epochs=epochs,
+                alrs_epochs=4, alrs_startup_factor=1, config=cfg,
+                num_workers=4, seed=0, num_devices=1, **kwargs)
+    params, frozen, model_cfg, labels = load_model(out)
+    dataset = DetectionDataset(project, image_size=model_cfg.image_size,
+                               max_gt=model_cfg.max_gt_boxes,
+                               label_names=labels)
+    _, test_idx = train_test_split(len(dataset), cfg.train.split_fraction,
+                                   cfg.train.split_seed)
+    loader = Loader(dataset, 4, indices=test_idx, shuffle=False,
+                    num_workers=4)
+    model = make_detector(model_cfg)
+    _, stats = evaluate(make_eval_step(model), params, frozen, loader,
+                        num_classes=len(labels), verbose=True)
+    print(json.dumps({"family": name, "canvas": canvas, "epochs": epochs,
+                      "mAP": round(stats[0], 4),
+                      "AP50": round(stats[1], 4),
+                      "AP75": round(stats[2], 4)}), flush=True)
+
+
+def main():
+    from podtpu.core.setup import enable_compilation_cache
+    enable_compilation_cache()
+    print("devices:", jax.devices(), flush=True)
+    names = sys.argv[1:] or list(RUNS)
+    for name in names:
+        kwargs, canvas, epochs = RUNS[name]
+        print(f"===== {name} =====", flush=True)
+        try:
+            run_one(name, kwargs, canvas, epochs)
+        except SystemExit as e:  # NaN guard exits; keep the other runs
+            print(f"{name}: training exited ({e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
