@@ -115,6 +115,12 @@ def cli():
                    "COCO-style keypoint triples, e.g. via import-coco)")
 @click.option("--num-keypoints", type=int, default=17, show_default=True,
               help="Keypoints per instance (COCO person skeleton = 17)")
+@click.option("--keypoint-hflip-inds", type=str, default=None,
+              help="Comma-separated index permutation applied to keypoints "
+                   "under horizontal flip (left/right joint swap). "
+                   "Defaults to the COCO-17 swap when --num-keypoints 17, "
+                   "identity otherwise; a non-identity permutation also "
+                   "disables the miso policy's vertical flip")
 @click.option("--num-devices", type=int, default=None,
               help="Data-parallel device count (default: all accelerator "
                    "devices; batch-size is per device)")
@@ -148,6 +154,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
                           optimiser, image_size, pretrained, resume,
                           with_mask, with_keypoints, num_keypoints,
+                          keypoint_hflip_inds,
                           num_devices, backbone, family,
                           test_tasks, server, username, password,
                           image_root):
@@ -178,6 +185,11 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model,
                                        image_size=(image_size, image_size)))
+    if keypoint_hflip_inds:
+        inds = tuple(int(i) for i in keypoint_hflip_inds.split(","))
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           keypoint_hflip_inds=inds))
     train(project, labels,
           output_dir=output_dir, name=model, batch_size=batch_size,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,

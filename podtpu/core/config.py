@@ -479,6 +479,16 @@ class TrainConfig:
     # recipes trained from scratch at the reference's SGD lr (notably
     # FCOS's focal+GIoU losses) can spike and NaN without it.
     clip_grad_norm: object = None
+    # From-scratch runs (no pretrained checkpoint): initialise FrozenBN
+    # statistics from one real batch (LSUV-style; podtpu/train/calibrate
+    # .py).  Identity-init frozen BN leaves deep mobile trunks
+    # normalisation-free and the signal VANISHES (measured 2e-4 mean
+    # activation at the MobileNetV3 taps — the RPN never learns).
+    # "auto" (default) measures the feature taps on a sample batch and
+    # calibrates only when they are pathologically small (< 1e-3):
+    # backbones that still carry signal (ResNet, MobileNetV2) train
+    # better from their plain init.  True/False force.
+    calibrate_bn: object = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -205,12 +205,19 @@ def multilevel_roi_align(
         return val.mean(axis=(1, 3))
 
     k = boxes.shape[0]
-    if k % roi_chunk == 0 and k > roi_chunk:
+    if k > roi_chunk:
         # Chunk RoIs to bound the gather intermediate (lax.map is a scan:
-        # one chunk's gathers live at a time).
-        chunks = (boxes.reshape(-1, roi_chunk, 4),
-                  level.reshape(-1, roi_chunk))
+        # one chunk's gathers live at a time).  Pad to a chunk multiple —
+        # the old divisibility requirement silently fell through to the
+        # full vmap (e.g. the 1000-proposal eval pool on the 1280-channel
+        # single-map backbone materialised [K, out*s, out*s, C] for ALL
+        # RoIs at once: 3.7 GB/image, an HBM OOM at batch 4).
+        pad = (-k) % roi_chunk
+        pboxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        plevel = jnp.pad(level, (0, pad))
+        chunks = (pboxes.reshape(-1, roi_chunk, 4),
+                  plevel.reshape(-1, roi_chunk))
         result = jax.lax.map(
             lambda a: jax.vmap(one_roi)((a[0], a[1])), chunks)
-        return result.reshape(k, out, out, flat.shape[-1])
+        return result.reshape(k + pad, out, out, flat.shape[-1])[:k]
     return jax.vmap(one_roi)((boxes, level))

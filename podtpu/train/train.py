@@ -359,6 +359,24 @@ def train(project: Project,
     if pretrained:
         from podtpu.models.weights import load_pretrained
         variables = load_pretrained(variables, pretrained)
+    elif restored is None and cfg.train.calibrate_bn is not False \
+            and variables.get("frozen"):
+        # From scratch: set FrozenBN statistics from one real batch
+        # (LSUV-style; see podtpu/train/calibrate.py — identity-init
+        # frozen BN leaves deep mobile trunks normalisation-free).
+        # "auto" calibrates only when the feature taps are pathologically
+        # small — backbones that still carry signal train better plain.
+        from podtpu.train.calibrate import (calibrate_frozen_stats,
+                                            needs_calibration)
+        sample = dataset.load_batch(
+            [int(i) for i in train_idx[: max(2, min(8, batch_size))]])
+        images = np.stack([s.image for s in sample])
+        if cfg.train.calibrate_bn is True \
+                or needs_calibration(model, variables, images):
+            variables = calibrate_frozen_stats(model, variables, images)
+            variables = jax.device_put(variables, jax.devices()[0])
+            print("FrozenBN statistics calibrated on a sample batch "
+                  "(from-scratch run: feature taps were vanishing)")
 
     tx = make_optimizer(cfg.train, cfg.model)
     state = create_train_state(variables, tx)

@@ -31,9 +31,14 @@ RUNS = {
     # SSD families carry their own canvas; images are rendered at it so
     # the fit-resize is identity.
     "ssd": (dict(family="ssd"), 300, 40),
-    "ssdlite": (dict(family="ssdlite"), 320, 40),
-    "mobilenet_v2": (dict(backbone="mobilenet_v2"), 512, 16),
-    "mobilenet_v3_fpn": (dict(backbone="mobilenet_v3_fpn"), 512, 16),
+    # SSDLite from scratch needs an aggressive lr (torchvision's recipe:
+    # 0.15 at batch 24, cosine, 660 COCO epochs); 0.005 barely moves in 40.
+    "ssdlite": (dict(family="ssdlite", lr=0.05), 320, 120),
+    # batch 4: the 1280-channel single-map RoI path OOMs 16G HBM at batch 8.
+    "mobilenet_v2": (dict(backbone="mobilenet_v2", batch_size=4, lr=0.01),
+                     512, 48),
+    "mobilenet_v3_fpn": (dict(backbone="mobilenet_v3_fpn", batch_size=4,
+                              lr=0.01), 512, 48),
 }
 
 
@@ -41,13 +46,16 @@ def run_one(name, kwargs, canvas, epochs):
     root = tempfile.mkdtemp(prefix=f"podtpu_conv_{name}_")
     project = make_project(root, num_images=60,
                            image_size=(canvas, canvas), max_boxes=6, seed=7)
+    kwargs = dict(kwargs)
+    batch = kwargs.pop("batch_size", 8)
+    lr = kwargs.pop("lr", 0.005)
     cfg = Config(model=ModelConfig(image_size=(canvas, canvas),
                                    compute_dtype="bfloat16"),
                  train=TrainConfig(warmup_iters=100, log_every=10,
-                                   clip_grad_norm=10.0),
+                                   clip_grad_norm=10.0, lr=lr),
                  data=DataConfig(num_workers=4))
     out = train(project, labels=["particle"], output_dir=root,
-                name=f"conv_{name}", batch_size=8, max_epochs=epochs,
+                name=f"conv_{name}", batch_size=batch, max_epochs=epochs,
                 alrs_epochs=4, alrs_startup_factor=1, config=cfg,
                 num_workers=4, seed=0, num_devices=1, **kwargs)
     params, frozen, model_cfg, labels = load_model(out)
