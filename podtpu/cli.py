@@ -187,6 +187,15 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                                        image_size=(image_size, image_size)))
     if keypoint_hflip_inds:
         inds = tuple(int(i) for i in keypoint_hflip_inds.split(","))
+        # Must be a permutation of range(num_keypoints): a wrong length
+        # shape-crashes deep inside the jitted augmentation and an
+        # out-of-range index silently corrupts flip targets (jit gathers
+        # clamp) — validate here where the message can name the flag.
+        if sorted(inds) != list(range(num_keypoints)):
+            raise click.BadParameter(
+                f"--keypoint-hflip-inds must be a permutation of "
+                f"0..{num_keypoints - 1} (got {len(inds)} values: "
+                f"{keypoint_hflip_inds})")
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            keypoint_hflip_inds=inds))

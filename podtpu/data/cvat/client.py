@@ -56,11 +56,12 @@ def api_prefix(api: str) -> str:
 
 
 def labeled_shape_json(points, frame: int, label_id: int,
-                       shape_type: str = "rectangle", group: int = 0) -> dict:
+                       shape_type: str = "rectangle", group: int = 0,
+                       occluded: bool = False) -> dict:
     """One element of the annotations-PATCH ``shapes`` list."""
     return {
         "type": shape_type,
-        "occluded": False,
+        "occluded": bool(occluded),
         "z_order": 0,
         "points": list(points),
         "frame": int(frame),
@@ -233,10 +234,15 @@ class CvatTask:
             self.project.add_image(image)
             frame_to_image[idx] = image
 
+        # Boxes created per frame (with their CVAT group ids) — the
+        # association targets for "points" shapes below.
+        created = []  # (frame, group, annotation)
+
         # Tracks: rectangles with linear interpolation between keyframes.
         for track in self.tracks:
             label = self.label_dict_by_id[track["label_id"]]["name"]
             seq_id = track.get("id")
+            tgroup = track.get("group") or 0
             keyframes = [s for s in track["shapes"]
                          if s["type"] == "rectangle"]
             seq_len = max(len(keyframes) - 1, 1)
@@ -254,32 +260,35 @@ class CvatTask:
                         q = prev_p + (p - prev_p) * t
                         image = frame_to_image.get(mid)
                         if image is not None:
-                            image.boxes.append(RectangleAnnotation(
+                            ann = RectangleAnnotation(
                                 q[0], q[1], q[2] - q[0], q[3] - q[1], label,
                                 track_id=seq_id, track_len=seq_len,
                                 track_idx=seq_idx, frame_id=mid,
-                                track_is_keypoint=False))
+                                track_is_keypoint=False)
+                            image.boxes.append(ann)
+                            created.append((mid, tgroup, ann))
                         seq_idx += 1
                 image = frame_to_image.get(frame_idx)
                 if image is not None:
-                    image.boxes.append(RectangleAnnotation(
+                    ann = RectangleAnnotation(
                         p[0], p[1], p[2] - p[0], p[3] - p[1], label,
                         track_id=seq_id, track_len=seq_len,
-                        track_idx=seq_idx, frame_id=frame_idx))
+                        track_idx=seq_idx, frame_id=frame_idx)
+                    image.boxes.append(ann)
+                    created.append((frame_idx, tgroup, ann))
                 prev_frame, prev_p = frame_idx, p
                 seq_idx += 1
 
         # Plain shapes.  Rectangles/polygons first (remembering their CVAT
         # group ids), then "points" shapes are attached to an instance.
-        created = []  # (frame, group, annotation)
         pending_points = []
         for shape in self.shapes:
-            label = self.label_dict_by_id[shape["label_id"]]["name"]
             image = frame_to_image.get(shape["frame"])
             if image is None:
                 continue
-            p = np.asarray(shape["points"], dtype=np.float64)
             if shape["type"] == "rectangle":
+                label = self.label_dict_by_id[shape["label_id"]]["name"]
+                p = np.asarray(shape["points"], dtype=np.float64)
                 ann = RectangleAnnotation(
                     p[0], p[1], p[2] - p[0], p[3] - p[1], label,
                     track_id=shape.get("id"))
@@ -290,6 +299,8 @@ class CvatTask:
                 # First-class polygons (box views via .coords/.bounds; mask
                 # targets via .rasterize); the reference silently skipped
                 # these (cvat_web_api.py:279-280,302-303).
+                label = self.label_dict_by_id[shape["label_id"]]["name"]
+                p = np.asarray(shape["points"], dtype=np.float64)
                 ann = PolygonAnnotation(
                     p[0::2].tolist(), p[1::2].tolist(), label,
                     uid=shape.get("id"))
@@ -331,12 +342,22 @@ class CvatTask:
                         containing,
                         key=lambda a: (a.coords[2] - a.coords[0])
                         * (a.coords[3] - a.coords[1]))
-            if target is not None \
-                    and getattr(target, "keypoints", None) is None:
-                target.keypoints = kps
+            if target is not None:
+                # A second points shape in the same group extends the
+                # instance's skeleton (annotators often split one).
+                existing = getattr(target, "keypoints", None)
+                target.keypoints = (list(existing) if existing else []) \
+                    + kps
             else:
-                x1, y1 = float(p[0::2].min()), float(p[1::2].min())
-                x2, y2 = float(p[0::2].max()), float(p[1::2].max())
+                # Standalone: a box over the points' extent, padded so a
+                # single landmark doesn't create a degenerate zero-area gt
+                # (the RPN matcher would force-match it and its encoded
+                # size targets blow up).
+                pad = 2.0
+                x1 = float(p[0::2].min()) - pad
+                y1 = float(p[1::2].min()) - pad
+                x2 = float(p[0::2].max()) + pad
+                y2 = float(p[1::2].max()) + pad
                 image.boxes.append(RectangleAnnotation(
                     x1, y1, x2 - x1, y2 - y1, label,
                     track_id=shape.get("id"), keypoints=kps))
@@ -379,11 +400,18 @@ class CvatTask:
         resolves."""
         self.add_missing_labels(project)
         shapes = []
-        group_counter = 0
+        # Fresh group ids must not collide with the task's EXISTING groups
+        # (CVAT would merge the uploaded pair into a manual group).
+        group_counter = max(
+            [0] + [s.get("group") or 0 for s in self.shapes]
+            + [t.get("group") or 0 for t in self.tracks])
         for image in project.image_dict.values():
             for box in image.boxes:
                 label_id = self.label_dict_by_name[box.label]["id"]
-                kps = getattr(box, "keypoints", None)
+                # Only LABELLED keypoints upload (v=0 triples are COCO
+                # placeholders at (0, 0) — not real points).
+                kps = [kp for kp in (getattr(box, "keypoints", None) or [])
+                       if kp[2] > 0]
                 group = 0
                 if kps:
                     group_counter += 1
@@ -400,9 +428,15 @@ class CvatTask:
                         group=group))
                 if kps:
                     flat = [float(v) for kp in kps for v in kp[:2]]
+                    # CVAT has no per-point visibility channel: the shape
+                    # is marked occluded when every point carries the COCO
+                    # occluded code (v == 1 exactly) — the import side then
+                    # restores v=1.  Inference keypoints store a confidence
+                    # in [0, 1] instead and upload as visible.
                     shapes.append(labeled_shape_json(
                         flat, image.frame_id, label_id,
-                        shape_type="points", group=group))
+                        shape_type="points", group=group,
+                        occluded=all(kp[2] == 1 for kp in kps)))
         body = labeled_data_json(shapes=shapes)
         url = (f"{self.server}/{self.api}/tasks/{self.task_id}"
                f"/annotations?action=create")

@@ -98,8 +98,39 @@ class TestLoad:
         assert small.keypoints == [(10.0, 10.0, 1.0), (12.0, 12.0, 1.0)]
         (standalone,) = images[2].boxes
         assert standalone.label == "Foram"
-        assert standalone.bounds == (1.0, 2.0, 8.0, 4.0)
+        # Extent padded by 2 px (a single landmark must not create a
+        # degenerate zero-area gt).
+        assert standalone.bounds == (-1.0, 0.0, 12.0, 8.0)
         assert standalone.keypoints == [(1.0, 2.0, 2.0), (9.0, 6.0, 2.0)]
+
+    def test_split_skeleton_and_track_grouped_points(self, image_root):
+        """Two points shapes in one group EXTEND the instance's skeleton;
+        points grouped with a rectangle TRACK attach to the track's
+        keyframe box instead of duplicating as a standalone instance."""
+        shapes = [
+            {"id": 1, "type": "rectangle", "frame": 0, "label_id": 10,
+             "points": [10.0, 10.0, 50.0, 50.0], "group": 3,
+             "outside": False},
+            {"id": 2, "type": "points", "frame": 0, "label_id": 10,
+             "points": [20.0, 20.0], "group": 3, "outside": False},
+            {"id": 3, "type": "points", "frame": 0, "label_id": 10,
+             "points": [30.0, 40.0], "group": 3, "outside": False},
+        ]
+        tracks = [{
+            "id": 99, "label_id": 10, "frame": 1, "group": 5,
+            "shapes": [{"type": "rectangle", "frame": 1, "outside": False,
+                        "points": [0.0, 0.0, 20.0, 20.0]}]}]
+        extra = [{"id": 4, "type": "points", "frame": 1, "label_id": 10,
+                  "points": [5.0, 5.0], "group": 5, "outside": False}]
+        with FakeCvatServer(make_state(shapes=shapes + extra,
+                                       tracks=tracks)) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+        images = {im.frame_id: im for im in task.project.images}
+        (grouped,) = images[0].boxes
+        assert grouped.keypoints == [(20.0, 20.0, 2.0), (30.0, 40.0, 2.0)]
+        (track_box,) = images[1].boxes  # no standalone duplicate
+        assert track_box.keypoints == [(5.0, 5.0, 2.0)]
 
     def test_track_interpolation(self, image_root):
         tracks = [{
@@ -185,6 +216,44 @@ class TestUpload:
         assert rect["group"] == pts["group"] > 0
         assert pts["points"] == [15.0, 15.0, 25.0, 20.0]
         assert pts["label_id"] == 11
+        assert pts["occluded"] is False  # confidence-valued v, not COCO 1
+
+    def test_add_shapes_group_ids_and_visibility_filter(self, image_root):
+        """Fresh group ids start past the task's EXISTING groups, v=0
+        placeholder triples never upload, and an all-occluded (v==1)
+        skeleton marks its points shape occluded."""
+        shapes = [{"id": 1, "type": "rectangle", "frame": 0,
+                   "label_id": 10, "points": [1.0, 1.0, 5.0, 5.0],
+                   "group": 7, "outside": False}]
+        state = make_state(shapes=shapes)
+        with FakeCvatServer(state) as srv:
+            task = CvatTask(srv.url, 5, image_root=image_root, debug=False)
+            task.load()
+            detections = Project()
+            im = task.project.images[0]
+            im.boxes = []  # upload only the new detections
+            im.boxes.append(RectangleAnnotation(
+                10, 10, 20, 20, "Foram", score=0.9,
+                keypoints=[(15.0, 15.0, 1.0), (0.0, 0.0, 0.0),
+                           (25.0, 20.0, 1.0)]))
+            im.boxes.append(RectangleAnnotation(
+                40, 40, 10, 10, "Foram", score=0.9,
+                keypoints=[(0.0, 0.0, 0.0)]))  # all placeholders
+            detections.add_image(im)
+            task.add_shapes(detections)
+        patch = [p for p in state.patches if "annotations" in p["path"]][-1]
+        uploaded = patch["body"]["shapes"]
+        # Existing rect (group 7) isn't in the upload; the new pair's
+        # group starts past it.  The all-placeholder box gets NO points
+        # shape and NO group.
+        kinds = [s["type"] for s in uploaded]
+        assert kinds == ["rectangle", "points", "rectangle"]
+        rect, pts, bare = uploaded
+        assert rect["group"] == pts["group"] == 8
+        assert bare["group"] == 0
+        # v=0 triple filtered out; all-occluded skeleton flagged.
+        assert pts["points"] == [15.0, 15.0, 25.0, 20.0]
+        assert pts["occluded"] is True
 
     def test_add_missing_labels(self, image_root):
         state = make_state()
