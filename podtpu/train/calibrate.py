@@ -75,7 +75,7 @@ def needs_calibration(model, variables, images,
 
 def calibrate_frozen_stats(model, variables, images, passes: int = 12,
                            eps: float = 1e-5, max_step: float = 100.0,
-                           damping: float = 0.7):
+                           damping: float = 1.0):
     """Return ``variables`` with every feature-extractor FrozenBN's
     (mean, var) set to its observed input statistics on ``images``.
 
@@ -87,11 +87,13 @@ def calibrate_frozen_stats(model, variables, images, passes: int = 12,
     factor to ``[1/max_step, max_step]`` (LSUV-style gentle iteration) —
     unclamped single-shot rescaling overflows the very layers it is
     fixing.  Non-finite captures are skipped; a few passes settle the
-    sequential dependence between layers.  Updates are DAMPED
-    (``correction ** damping``): all layers update simultaneously, so
-    undamped full corrections oscillate on channels whose statistics
-    depend strongly on upstream scaling (dead/SE-gated channels).  A
-    final clamp bounds every calibrated stat to a sane range.
+    sequential dependence between layers.  The per-pass clamp doubles as
+    the stabiliser for the simultaneous updates (measured: full
+    corrections with max_step=100 settle the taps to ~1x mean activation
+    and train stably at the default SGD lr, while damping < 1 LANDS SHORT
+    and leaves 5-50x features that NaN without gradient clipping); a few
+    dead/SE-gated channels never settle, so a final clamp bounds every
+    calibrated stat.
     """
     variables = jax.device_get(variables)
     variables = jax.tree.map(np.asarray, variables)
