@@ -374,3 +374,51 @@ class COCOEvaluator:
         stats = self.summarize()
         return "\n".join(f"{name} = {stat:.3f}"
                          for name, stat in zip(STAT_NAMES, stats))
+
+    # -- per-class breakdown (new capability: pycocotools and the reference
+    # only report the class-averaged stats) ----------------------------------
+    def per_class_stats(self) -> Dict[int, List[float]]:
+        """``{label: [AP, AP@0.5, AP@0.75, AR@maxDets[-1]]}`` per class,
+        area="all"; classes with no ground truth are omitted (they carry
+        -1 sentinels in the precision table and would poison averages)."""
+        if getattr(self, "_precision", None) is None:
+            self.accumulate()
+        ai = list(AREA_RANGES).index("all")
+        mi = len(self.max_dets) - 1
+        t50 = int(np.argwhere(np.isclose(IOU_THRS, 0.5))[0, 0])
+        t75 = int(np.argwhere(np.isclose(IOU_THRS, 0.75))[0, 0])
+
+        def _mean(a: np.ndarray) -> float:
+            a = a[a > -1]
+            return float(np.mean(a)) if a.size else -1.0
+
+        out: Dict[int, List[float]] = {}
+        for ki in range(self.num_classes):
+            p = self._precision[:, :, ki, ai, mi]
+            if not (p > -1).any():
+                continue
+            out[ki + 1] = [
+                _mean(p),
+                _mean(self._precision[t50, :, ki, ai, mi]),
+                _mean(self._precision[t75, :, ki, ai, mi]),
+                _mean(self._recall[:, ki, ai, mi]),
+            ]
+        return out
+
+    def per_class_text(self, label_names: Optional[List[str]] = None) -> str:
+        """Aligned per-class table (label_names is 0-based over foreground
+        classes, i.e. ``label_names[label - 1]`` names class ``label``)."""
+        stats = self.per_class_stats()
+        names = {
+            k: (label_names[k - 1] if label_names and k - 1 < len(label_names)
+                else f"class {k}") for k in stats
+        }
+        width = max([len(n) for n in names.values()] + [5])
+        header = (f"{'class':<{width}}  {'AP':>6}  {'AP50':>6}  {'AP75':>6}  "
+                  f"{'AR':>6}")
+        lines = [header]
+        for k in sorted(stats):
+            ap, ap50, ap75, ar = stats[k]
+            lines.append(f"{names[k]:<{width}}  {ap:6.3f}  {ap50:6.3f}  "
+                         f"{ap75:6.3f}  {ar:6.3f}")
+        return "\n".join(lines)

@@ -506,4 +506,11 @@ def train(project: Project,
         if getattr(final_eval, "keypoints_stats", None) is not None:
             ckpt.save_results(output_dir, final_eval.keypoints_stats,
                               STAT_NAMES, filename="results_keypoints.txt")
+        if len(labels) > 1:
+            # Per-class breakdown (beyond the reference: its pycocotools
+            # summary only reports class-averaged stats).
+            with open(os.path.join(output_dir, "results_per_class.txt"),
+                      "w") as f:
+                f.write(final_eval.per_class_text(labels) + "\n")
+            print(final_eval.per_class_text(labels))
     return output_dir

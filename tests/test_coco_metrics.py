@@ -157,3 +157,36 @@ def test_summary_text_format():
     assert len(lines) == 12
     assert lines[0].startswith(STAT_NAMES[0])
     assert lines[0].endswith("= 1.000")
+
+
+class TestPerClass:
+    def test_perfect_vs_missed_class(self):
+        """Class 1 detected perfectly, class 2 never detected, class 3 has
+        no ground truth at all (omitted from the breakdown)."""
+        ev = COCOEvaluator(num_classes=3)
+        g1 = np.array([box(0, 0, 50, 50)])
+        g2 = np.array([box(100, 100, 40, 40)])
+        ev.update(np.concatenate([g1, g2]), np.array([1, 2]),
+                  g1, np.array([0.9]), np.array([1]))
+        stats = ev.per_class_stats()
+        assert set(stats) == {1, 2}
+        assert stats[1][0] == pytest.approx(1.0)   # AP
+        assert stats[1][1] == pytest.approx(1.0)   # AP50
+        assert stats[1][3] == pytest.approx(1.0)   # AR
+        assert stats[2][0] == pytest.approx(0.0)
+        assert stats[2][3] == pytest.approx(0.0)
+        # Class-averaged AP must equal the mean of the per-class APs here
+        # (both classes share the "all" area range and full maxDets).
+        summary = ev.summarize()
+        assert summary[0] == pytest.approx((stats[1][0] + stats[2][0]) / 2)
+
+    def test_per_class_text(self):
+        ev = COCOEvaluator(num_classes=2)
+        g = np.array([box(0, 0, 50, 50)])
+        ev.update(g, np.array([2]), g, np.array([0.9]), np.array([2]))
+        text = ev.per_class_text(["alpha", "beta"])
+        lines = text.splitlines()
+        assert lines[0].split() == ["class", "AP", "AP50", "AP75", "AR"]
+        assert len(lines) == 2       # only beta has ground truth
+        assert lines[1].startswith("beta")
+        assert "1.000" in lines[1]

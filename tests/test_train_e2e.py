@@ -72,3 +72,26 @@ class TestHeldOutTasks:
                   output_dir=str(tmp_path / "models"), name="x",
                   batch_size=2, max_epochs=1, config=tiny_config(),
                   test_project=Project())
+
+
+class TestPerClassArtifact:
+    def test_multilabel_train_writes_per_class_results(self, tmp_path):
+        from tests.conftest import tiny_config
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        # 10 images -> a 2-image held-out split (4 would round to zero
+        # test images and leave the evaluator without any ground truth).
+        project = make_project(str(tmp_path / "imgs"), num_images=10,
+                               max_boxes=4, labels=["alpha", "beta"], seed=5)
+        out = train(project, labels=["alpha", "beta"],
+                    output_dir=str(tmp_path / "models"), name="pc",
+                    batch_size=2, max_epochs=1, alrs_epochs=1,
+                    alrs_startup_factor=1, config=tiny_config(),
+                    num_workers=2, seed=0)
+        path = os.path.join(out, "results_per_class.txt")
+        assert os.path.exists(path)
+        text = open(path).read()
+        assert text.splitlines()[0].split()[0] == "class"
+        # Both foreground classes appear (the 4-image set has gt for each).
+        assert "alpha" in text and "beta" in text

@@ -55,8 +55,10 @@ def run_one(family, project, root):
     loader = Loader(dataset, 4, indices=test_idx, shuffle=False,
                     num_workers=4)
     model = make_detector(model_cfg)
-    _, stats = evaluate(make_eval_step(model), params, frozen, loader,
-                        num_classes=len(labels), verbose=True)
+    evaluator, stats = evaluate(make_eval_step(model), params, frozen,
+                                loader, num_classes=len(labels),
+                                verbose=True)
+    print(evaluator.per_class_text(labels), flush=True)
     print(json.dumps({"benchmark": "hard_synthetic", "canvas": CANVAS,
                       "family": family, "images": NUM_IMAGES,
                       "mAP": round(stats[0], 4),
