@@ -421,5 +421,30 @@ def serve(model_dir, model, host, port, batch_size):
              batch_size=batch_size)
 
 
+@cli.command()
+@click.option("--model-dir", type=str, default="/obj_det/models",
+              show_default=True, help="Directory containing models")
+@click.option("--model", type=str, prompt="Name of folder containing model",
+              help="Name of folder containing model")
+@click.option("--batch-size", type=int, default=1, show_default=True,
+              help="Fixed batch size compiled into the artifact")
+@click.option("--platforms", type=str, default=None,
+              help="Comma-separated lowering platforms (default: the "
+                   "attached accelerator's)")
+@click.option("-o", "--output", type=str, default=None,
+              help="Artifact path (default: <model dir>/model.stablehlo)")
+def export_model(model_dir, model, batch_size, platforms, output):
+    """Export the compiled eval forward as a self-contained StableHLO
+    artifact (weights embedded; replays without the framework's model
+    code — new capability, the AOT answer to the reference's pickled
+    model.pt)."""
+    from podtpu.infer.export import export_model as export_fn
+
+    platforms = platforms.split(",") if platforms else None
+    path = export_fn(os.path.join(model_dir, model), batch_size=batch_size,
+                     platforms=platforms, out_path=output)
+    click.echo(f"exported: {path}")
+
+
 if __name__ == "__main__":
     cli()
