@@ -440,7 +440,8 @@ def export_model(model_dir, model, batch_size, platforms, output):
     model.pt)."""
     from podtpu.infer.export import export_model as export_fn
 
-    platforms = platforms.split(",") if platforms else None
+    platforms = ([p.strip() for p in platforms.split(",") if p.strip()]
+                 if platforms else None)
     path = export_fn(os.path.join(model_dir, model), batch_size=batch_size,
                      platforms=platforms, out_path=output)
     click.echo(f"exported: {path}")

@@ -114,5 +114,12 @@ class ExportedModel:
             self.batch_size = int(spec.shape[0])
 
     def __call__(self, images: np.ndarray):
-        out = self.exported.call(jnp.asarray(images, jnp.uint8))
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            # A silent value-cast would truncate float [0,1] canvases
+            # (valid on the live model) to all-zero uint8.
+            raise TypeError(
+                f"exported model takes uint8 canvases, got {images.dtype}; "
+                "scale floats to [0, 255] and cast explicitly")
+        out = self.exported.call(jnp.asarray(images))
         return jax.tree.map(np.asarray, out)

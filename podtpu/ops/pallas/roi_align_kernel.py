@@ -446,7 +446,7 @@ def _vjp_bwd(strides, output_size, sampling_ratio, aligned, canonical_scale,
         gbuf = grads[i].astype(f.dtype) + grads[n + i].astype(f.dtype)
         if (hp, wp) != (h, w):
             gbuf = gbuf[:, :h, :w, :]
-        out.append(gbuf.astype(f.dtype))
+        out.append(gbuf)
     return tuple(out), jnp.zeros_like(boxes)
 
 

@@ -381,8 +381,9 @@ class COCOEvaluator:
         """``{label: [AP, AP@0.5, AP@0.75, AR@maxDets[-1]]}`` per class,
         area="all"; classes with no ground truth are omitted (they carry
         -1 sentinels in the precision table and would poison averages)."""
-        if getattr(self, "_precision", None) is None:
-            self.accumulate()
+        # Always re-accumulate (like summarize): update()/merge_from()
+        # don't invalidate a cached table.
+        self.accumulate()
         ai = list(AREA_RANGES).index("all")
         mi = len(self.max_dets) - 1
         t50 = int(np.argwhere(np.isclose(IOU_THRS, 0.5))[0, 0])

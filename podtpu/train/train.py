@@ -509,8 +509,9 @@ def train(project: Project,
         if len(labels) > 1:
             # Per-class breakdown (beyond the reference: its pycocotools
             # summary only reports class-averaged stats).
+            per_class = final_eval.per_class_text(labels)
             with open(os.path.join(output_dir, "results_per_class.txt"),
                       "w") as f:
-                f.write(final_eval.per_class_text(labels) + "\n")
-            print(final_eval.per_class_text(labels))
+                f.write(per_class + "\n")
+            print(per_class)
     return output_dir

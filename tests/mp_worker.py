@@ -45,7 +45,8 @@ def main():
                            train=False)
     tx = make_optimizer(cfg.train, cfg.model)
     mesh = make_mesh()  # ALL global devices, across processes
-    assert mesh.devices.size == 8, mesh.devices
+    n_devices = int(mesh.devices.size)
+    assert n_devices == jax.device_count() and n_devices % nprocs == 0
     step_fn, _ = make_dp_train_step(model, tx, cfg, mesh)
     state = create_train_state(init_vars, tx)
 
@@ -60,8 +61,8 @@ def main():
     state = to_global_replicated(state)
     # Every process builds the same GLOBAL batch, then contributes its
     # process-local slice of the data axis.
-    global_batch = make_batch(batch=8, seed=123)
-    per_proc = 8 // nprocs
+    global_batch = make_batch(batch=n_devices, seed=123)
+    per_proc = n_devices // nprocs
     lo = proc_id * per_proc
     batch = {
         k: jax.make_array_from_process_local_data(

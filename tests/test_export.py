@@ -70,3 +70,10 @@ class TestExport:
             "--platforms", "cpu", "-o", str(out)])
         assert res.exit_code == 0, res.output
         assert out.exists() and "exported:" in res.output
+
+    def test_rejects_float_input(self, exported):
+        _, path = exported
+        loaded = ExportedModel(path)
+        h, w = loaded.image_size
+        with pytest.raises(TypeError, match="uint8"):
+            loaded(np.zeros((2, h, w, 3), np.float32))

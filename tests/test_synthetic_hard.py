@@ -41,8 +41,11 @@ def test_boxes_cover_bright_pixels(hard):
     for b in meta.boxes:
         x, y, w, h = (int(b.x), int(b.y), int(b.width), int(b.height))
         region = arr[y:y + h, x:x + w]
-        # The drawn shape is much brighter than the <=90 distractor cap.
-        assert region.max() >= 100, (b.label, region.max())
+        # Minimum possible drawn-shape pixel: 0.85*110 + 0.15*bg ≈ 94
+        # (background tops out near ~104 only at the extreme bright-ramp
+        # corner; typical dark areas sit well below 92, so a box landing
+        # nowhere near drawn pixels still fails).
+        assert region.max() >= 92, (b.label, region.max())
 
 
 def test_occlusion_bounded(hard):
