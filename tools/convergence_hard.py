@@ -33,7 +33,7 @@ CANVAS = 1024
 NUM_IMAGES = 200
 
 
-def run_one(family, project, root):
+def run_one(family, project, root, epochs=24):
     cfg = Config(model=ModelConfig(image_size=(CANVAS, CANVAS),
                                    compute_dtype="bfloat16"),
                  train=TrainConfig(warmup_iters=200, log_every=10,
@@ -41,7 +41,7 @@ def run_one(family, project, root):
                  data=DataConfig(num_workers=4))
     kwargs = {} if family == "faster_rcnn" else {"family": family}
     out = train(project, labels=list(HARD_CLASSES), output_dir=root,
-                name=f"hard_{family}", batch_size=4, max_epochs=24,
+                name=f"hard_{family}", batch_size=4, max_epochs=epochs,
                 alrs_epochs=5, alrs_startup_factor=1, config=cfg,
                 num_workers=4, seed=0, num_devices=1, **kwargs)
     print("trained:", out, flush=True)
@@ -61,6 +61,7 @@ def run_one(family, project, root):
     print(evaluator.per_class_text(labels), flush=True)
     print(json.dumps({"benchmark": "hard_synthetic", "canvas": CANVAS,
                       "family": family, "images": NUM_IMAGES,
+                      "epochs": epochs,
                       "mAP": round(stats[0], 4),
                       "AP50": round(stats[1], 4),
                       "AP75": round(stats[2], 4),
@@ -70,7 +71,11 @@ def run_one(family, project, root):
 def main():
     from podtpu.core.setup import enable_compilation_cache
     enable_compilation_cache()
-    families = sys.argv[1:] or ["faster_rcnn"]
+    # Each arg is "family" or "family:epochs" (one-stage families from
+    # scratch on this task are still descending at 24 epochs).
+    families = [(a.split(":")[0],
+                 int(a.split(":")[1]) if ":" in a else 24)
+                for a in sys.argv[1:]] or [("faster_rcnn", 24)]
     print("devices:", jax.devices(), "families:", families, flush=True)
     root = tempfile.mkdtemp(prefix="podtpu_hard_")
     project = make_hard_project(root, num_images=NUM_IMAGES,
@@ -79,8 +84,8 @@ def main():
     counts = project.label_counts()
     print("dataset ready:", len(project.image_dict), "images,",
           sum(counts.values()), "boxes", dict(counts), flush=True)
-    for family in families:
-        run_one(family, project, root)
+    for family, epochs in families:
+        run_one(family, project, root, epochs=epochs)
 
 
 if __name__ == "__main__":
