@@ -412,13 +412,16 @@ def classify_crops(input_dir, model_dir, model, batch_size, output):
 @click.option("--port", type=int, default=8500, show_default=True)
 @click.option("--batch-size", type=int, default=4, show_default=True,
               help="Micro-batch size for coalescing concurrent requests")
-def serve(model_dir, model, host, port, batch_size):
+@click.option("--exported", is_flag=True, default=False,
+              help="Serve the model dir's AOT artifact (model.stablehlo "
+                   "from export-model) instead of tracing the live model")
+def serve(model_dir, model, host, port, batch_size, exported):
     """Serve a trained detector over HTTP (POST /detect with image bytes;
     micro-batched inference — new capability)."""
     from podtpu.infer.server import serve as serve_fn
 
     serve_fn(os.path.join(model_dir, model), host=host, port=port,
-             batch_size=batch_size)
+             batch_size=batch_size, exported=exported)
 
 
 @cli.command()

@@ -50,13 +50,50 @@ class _Request:
 
 
 class DetectionServer:
-    """Model runner + micro-batcher; the HTTP layer sits on top."""
+    """Model runner + micro-batcher; the HTTP layer sits on top.
+
+    ``exported=True`` (or a path) serves a pre-compiled StableHLO artifact
+    (`podtpu.infer.export`) instead of tracing the live model: instant
+    startup, pinned weights+program version.  The artifact's platform must
+    match the serving backend, and its compiled batch size wins.
+    """
 
     def __init__(self, model_dir: str, batch_size: int = 4,
-                 batch_timeout_ms: float = 8.0):
-        (self.eval_step, self.params, self.frozen, self.cfg,
-         self.labels) = load_inference_model(model_dir)
+                 batch_timeout_ms: float = 8.0, exported=False):
         self.model_dir = model_dir
+        if exported:
+            import os
+
+            from podtpu.infer.export import EXPORT_NAME, ExportedModel
+            path = (exported if isinstance(exported, str)
+                    else os.path.join(model_dir, EXPORT_NAME))
+            model = ExportedModel(path)
+            if model.labels is not None:
+                self.labels = model.labels
+            else:
+                from podtpu.train.checkpoints import read_labels
+                self.labels = read_labels(
+                    os.path.join(model_dir, "labels.txt"))
+            self.image_size = model.image_size
+            batch_size = model.batch_size  # compiled into the artifact
+            self._forward = model
+        else:
+            (eval_step, params, frozen, cfg,
+             self.labels) = load_inference_model(model_dir)
+            self.image_size = cfg.image_size
+
+            def forward(images):
+                out = eval_step(params, frozen, images)
+                det, out_masks, _ = split_eval_output(out)
+                res = {"boxes": np.asarray(det.boxes),
+                       "scores": np.asarray(det.scores),
+                       "labels": np.asarray(det.labels),
+                       "valid": np.asarray(det.valid)}
+                if out_masks is not None:
+                    res["masks"] = np.asarray(out_masks)
+                return res
+
+            self._forward = forward
         self.batch_size = batch_size
         self.batch_timeout = batch_timeout_ms / 1e3
         self._q: "queue.Queue[_Request]" = queue.Queue()
@@ -69,8 +106,8 @@ class DetectionServer:
         with Image.open(io.BytesIO(image_bytes)) as im:
             arr = pil_to_rgb(im)
         h, w = arr.shape[:2]
-        resized, scale = fit_resize(arr, self.cfg.image_size)
-        ch, cw = self.cfg.image_size
+        resized, scale = fit_resize(arr, self.image_size)
+        ch, cw = self.image_size
         canvas = np.zeros((ch, cw, 3), np.uint8)
         canvas[: resized.shape[0], : resized.shape[1]] = resized
         req = _Request(canvas, scale, (h, w), threshold)
@@ -135,17 +172,16 @@ class DetectionServer:
 
     def _process(self, batch: List[_Request]):
         bs = self.batch_size
-        ch, cw = self.cfg.image_size
+        ch, cw = self.image_size
         images = np.zeros((bs, ch, cw, 3), np.uint8)
         for i, req in enumerate(batch):
             images[i] = req.canvas
-        out = self.eval_step(self.params, self.frozen, images)
-        det, out_masks, _ = split_eval_output(out)
-        masks = np.asarray(out_masks) if out_masks is not None else None
-        boxes = np.asarray(det.boxes)
-        scores = np.asarray(det.scores)
-        labels = np.asarray(det.labels)
-        valid = np.asarray(det.valid)
+        out = self._forward(images)
+        masks = out.get("masks")
+        boxes = out["boxes"]
+        scores = out["scores"]
+        labels = out["labels"]
+        valid = out["valid"]
         for i, req in enumerate(batch):
             keep = np.flatnonzero(valid[i] & (scores[i] > req.threshold))
             dets = []
@@ -208,9 +244,10 @@ def make_handler(server: DetectionServer):
 
 
 def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8500,
-          batch_size: int = 4) -> None:
+          batch_size: int = 4, exported=False) -> None:
     """Blocking entry point for the CLI."""
-    runner = DetectionServer(model_dir, batch_size=batch_size)
+    runner = DetectionServer(model_dir, batch_size=batch_size,
+                             exported=exported)
     httpd = ThreadingHTTPServer((host, port), make_handler(runner))
     print(f"podtpu serving {model_dir} on {host}:{port} "
           f"(batch {batch_size}, labels {runner.labels})")

@@ -110,3 +110,44 @@ class TestServerShutdown:
         with pytest.raises(RuntimeError, match="shut down"):
             runner.detect(synth_image_bytes())
 
+
+
+class TestExportedServing:
+    def test_serves_aot_artifact(self, trained_model, tmp_path):
+        """The server runs a pre-compiled StableHLO artifact end-to-end
+        and must agree with the live model on the same request."""
+        from podtpu.infer.export import export_model
+        from podtpu.infer.server import DetectionServer, make_handler
+
+        path = export_model(trained_model, batch_size=2, platforms=("cpu",),
+                            out_path=str(tmp_path / "m.stablehlo"))
+        runner = DetectionServer(trained_model, exported=path,
+                                 batch_timeout_ms=5)
+        assert runner.batch_size == 2  # the artifact's compiled batch wins
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(runner))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect?threshold=0.05",
+                data=synth_image_bytes(), method="POST")
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                payload = json.loads(resp.read())
+            live = DetectionServer(trained_model, batch_size=2,
+                                   batch_timeout_ms=5)
+            try:
+                live_payload = live.detect(synth_image_bytes(),
+                                           threshold=0.05)
+            finally:
+                live.close()
+            assert payload["width"] == 160
+            assert len(payload["detections"]) == \
+                len(live_payload["detections"])
+            for a, b in zip(payload["detections"],
+                            live_payload["detections"]):
+                assert a["label"] == b["label"]
+                assert a["score"] == pytest.approx(b["score"], abs=1e-4)
+                assert np.allclose(a["box"], b["box"], atol=0.1)
+        finally:
+            httpd.shutdown()
+            runner.close()
