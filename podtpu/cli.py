@@ -99,8 +99,27 @@ def cli():
               help="Maximum number of epochs")
 @click.option("--alrs-epochs", type=int, default=10, show_default=True,
               help="Number of epochs to monitor for alrs")
-@click.option("--optimiser", type=str, default="sgd", show_default=True,
-              help="Optimiser to use")
+@click.option("--optimiser", type=click.Choice(["sgd", "adam", "adamw"]),
+              default="sgd", show_default=True,
+              help="Optimiser to use (adamw = the vendored trainer's "
+                   "decoupled-weight-decay option)")
+@click.option("--lr-schedule", type=click.Choice(["alrs", "multistep",
+                                                  "cosine"]),
+              default="alrs", show_default=True,
+              help="LR schedule: adaptive early stopping (alrs, the miso "
+                   "default) or the vendored trainer's fixed-budget "
+                   "multistep/cosine schedules (run exactly --epochs epochs)")
+@click.option("--epochs", type=int, default=26, show_default=True,
+              help="Epoch budget for --lr-schedule multistep/cosine "
+                   "(ignored by alrs)")
+@click.option("--lr-steps", type=str, default="16,22", show_default=True,
+              help="Comma-separated milestone epochs for "
+                   "--lr-schedule multistep")
+@click.option("--lr-gamma", type=float, default=0.1, show_default=True,
+              help="LR decay factor at each multistep milestone")
+@click.option("--norm-weight-decay", type=float, default=None,
+              help="Separate weight decay for normalisation parameters "
+                   "(default: same as the global weight decay)")
 @click.option("--image-size", type=int, default=1024, show_default=True,
               help="Static training canvas size (square)")
 @click.option("--pretrained", type=str, default=None,
@@ -149,14 +168,20 @@ def cli():
               help="Comma-separated CVAT task ids held out for evaluation "
                    "(fixes the reference's same-task random split; default "
                    "keeps the seeded 80/20 split)")
+@click.option("--test-only", is_flag=True, default=False,
+              help="Skip training: evaluate the saved model named by "
+                   "--model on the given tasks and print the COCO stats "
+                   "(the vendored trainer's --test-only, "
+                   "engine/train.py:273-276)")
 @add_options(server_options)
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
-                          optimiser, image_size, pretrained, resume,
+                          optimiser, lr_schedule, epochs, lr_steps, lr_gamma,
+                          norm_weight_decay, image_size, pretrained, resume,
                           with_mask, with_keypoints, num_keypoints,
                           keypoint_hflip_inds,
                           num_devices, backbone, family,
-                          test_tasks, server, username, password,
+                          test_tasks, test_only, server, username, password,
                           image_root):
     from podtpu.core.config import Config
     from podtpu.train.train import train
@@ -167,6 +192,15 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
 
     project = _load_tasks(task_ids, server, wsl2, api, username, password,
                           image_root=image_root)
+    if test_only:
+        if not model:
+            raise click.BadParameter(
+                "--test-only needs --model (the saved model's name under "
+                "--output-dir)")
+        from podtpu.train.train import evaluate_model
+        evaluate_model(project, os.path.join(output_dir, model),
+                       batch_size=batch_size)
+        return
     test_project = None
     if test_tasks:
         test_ids = [int(t.strip()) for t in test_tasks.split(",")]
@@ -184,7 +218,11 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
     cfg = Config()
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model,
-                                       image_size=(image_size, image_size)))
+                                       image_size=(image_size, image_size)),
+        train=dataclasses.replace(
+            cfg.train, lr_schedule=lr_schedule, epochs=epochs,
+            lr_steps=tuple(int(s.strip()) for s in lr_steps.split(",")),
+            lr_gamma=lr_gamma, norm_weight_decay=norm_weight_decay))
     if keypoint_hflip_inds:
         inds = tuple(int(i) for i in keypoint_hflip_inds.split(","))
         # Must be a permutation of range(num_keypoints): a wrong length

@@ -455,11 +455,16 @@ class TrainConfig:
     (`miso/object_detection/training.py:96-113`, `cli.py:35-80`)."""
 
     batch_size: int = 2
-    optimiser: str = "sgd"  # 'sgd' | 'adam'
+    optimiser: str = "sgd"  # 'sgd' | 'adam' | 'adamw'
     lr: float = 0.005
     momentum: float = 0.9
     weight_decay: float = 0.0005
     adam_lr: float = 0.001
+    # Separate weight decay for normalisation parameters (GroupNorm
+    # scale/bias, SSD's L2Norm scale) — the vendored trainer's
+    # ``--norm-weight-decay`` split (`engine/train.py:231-236`).  None =
+    # norms decay with everything else (torch default).
+    norm_weight_decay: object = None
     # Epoch-0 linear warmup (reference engine/engine.py:18-25).
     warmup_iters: int = 1000
     warmup_start_factor: float = 1.0 / 1000.0
@@ -469,6 +474,15 @@ class TrainConfig:
     alrs_epochs: int = 10
     alrs_startup_factor: int = 2
     max_epochs: int = 500
+    # LR schedule: 'alrs' (the miso path's adaptive early stopping, above)
+    # or the vendored trainer's fixed-budget schedules
+    # (`engine/train.py:254-262`): 'multistep' (MultiStepLR over lr_steps/
+    # lr_gamma) and 'cosine' (CosineAnnealingLR).  The fixed schedules run
+    # exactly `epochs` epochs (vendored defaults: 26, steps 16/22, gamma .1).
+    lr_schedule: str = "alrs"
+    epochs: int = 26
+    lr_steps: Tuple[int, ...] = (16, 22)
+    lr_gamma: float = 0.1
     # Held-out split (`training.py:53-57`: seed 1, 20% test).
     split_fraction: float = 0.2
     split_seed: int = 1

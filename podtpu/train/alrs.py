@@ -98,6 +98,11 @@ class AdaptiveLearningRateScheduler:
     def lr(self) -> float:
         return self.base_lr * (self.factor ** self.drop_count)
 
+    def lr_for(self, epoch: int) -> float:
+        """Scheduler-protocol accessor (see podtpu/train/schedules.py):
+        ALRS's LR depends on drop count, not the epoch index."""
+        return self.lr
+
     def step(self, epoch: int, loss: float) -> bool:
         """Record an epoch loss; returns True when training should stop."""
         if self._needs_drop(epoch, loss):

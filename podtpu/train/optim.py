@@ -42,6 +42,38 @@ def trainable_mask_fn(model_cfg: ModelConfig) -> Callable:
     return mask
 
 
+def norm_param_mask(params, invert: bool = False):
+    """Pytree-of-bools: True for trainable normalisation parameters —
+    GroupNorm scale/bias (module names ``gn*`` / ``*_gn*``) and SSD's
+    ``l2norm_scale``.  FrozenBatchNorm lives in the ``frozen`` collection,
+    so it never reaches the optimizer.  Used by the vendored trainer's
+    ``--norm-weight-decay`` split (`engine/train.py:231-236`)."""
+    import jax
+
+    def is_norm(path):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        return any(k.startswith("gn") or "_gn" in k or k == "l2norm_scale"
+                   for k in keys)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: is_norm(path) ^ invert, params)
+
+
+def _weight_decay(train_cfg: TrainConfig):
+    """The decoupled weight-decay component: one rate for everything, or
+    the vendored trainer's norm/non-norm split when ``norm_weight_decay``
+    is set."""
+    if train_cfg.norm_weight_decay is None:
+        return optax.add_decayed_weights(train_cfg.weight_decay)
+    return optax.chain(
+        optax.masked(optax.add_decayed_weights(train_cfg.weight_decay),
+                     lambda p: norm_param_mask(p, invert=True)),
+        optax.masked(
+            optax.add_decayed_weights(float(train_cfg.norm_weight_decay)),
+            norm_param_mask),
+    )
+
+
 def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
     """Returns an ``optax.GradientTransformation`` whose learning rate lives
     in ``opt_state.hyperparams['learning_rate']`` (inject_hyperparams)."""
@@ -59,7 +91,7 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
             return optax.masked(
                 optax.chain(
                     clip,
-                    optax.add_decayed_weights(train_cfg.weight_decay),
+                    _weight_decay(train_cfg),
                     optax.trace(decay=train_cfg.momentum),
                     optax.scale_by_learning_rate(learning_rate),  # -lr
                 ), mask)
@@ -74,4 +106,18 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
                     optax.scale_by_learning_rate(learning_rate),  # -lr
                 ), mask)
         return make(learning_rate=train_cfg.adam_lr)
-    raise ValueError("Optimiser must be one of 'sgd' or 'adam'")
+    if train_cfg.optimiser == "adamw":
+        # The vendored trainer's AdamW option (`engine/train.py:238-250`):
+        # decoupled weight decay applied AFTER the Adam scaling (torch
+        # AdamW semantics), honouring the norm-weight-decay split.
+        @optax.inject_hyperparams
+        def make(learning_rate):
+            return optax.masked(
+                optax.chain(
+                    clip,
+                    optax.scale_by_adam(),
+                    _weight_decay(train_cfg),
+                    optax.scale_by_learning_rate(learning_rate),  # -lr
+                ), mask)
+        return make(learning_rate=train_cfg.adam_lr)
+    raise ValueError("Optimiser must be one of 'sgd', 'adam' or 'adamw'")

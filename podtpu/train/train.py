@@ -37,7 +37,7 @@ from podtpu.data.project import Project
 from podtpu.models.detector import init_variables, make_detector
 from podtpu.shared.utils import now_as_str
 from podtpu.train import checkpoints as ckpt
-from podtpu.train.alrs import AdaptiveLearningRateScheduler
+from podtpu.train.schedules import make_scheduler
 from podtpu.train.coco_metrics import STAT_NAMES
 from podtpu.train.evaluate import evaluate
 from podtpu.train.optim import make_optimizer
@@ -380,10 +380,11 @@ def train(project: Project,
 
     tx = make_optimizer(cfg.train, cfg.model)
     state = create_train_state(variables, tx)
-    base_lr = cfg.train.lr if optimiser == "sgd" else cfg.train.adam_lr
-    alrs = AdaptiveLearningRateScheduler(
-        base_lr, factor=cfg.train.alrs_factor, nb_drops=alrs_drops,
-        nb_epochs=alrs_epochs, startup_delay_factor=alrs_startup_factor)
+    base_lr = cfg.train.adam_lr if optimiser in ("adam", "adamw") \
+        else cfg.train.lr
+    # 'alrs' (default, the miso path) or the vendored trainer's fixed
+    # 'multistep'/'cosine' budgets (podtpu/train/schedules.py).
+    sched = make_scheduler(cfg.train, base_lr)
 
     start_epoch = 0
     if resume:
@@ -394,7 +395,7 @@ def train(project: Project,
                 params=restored["params"], frozen=restored["frozen"],
                 opt_state=restored["opt_state"],
                 step=np.asarray(restored["step"], np.int32))
-            alrs.load_state_dict(restored["alrs"])
+            sched.load_state_dict(restored["alrs"])
             start_epoch = restored["epoch"] + 1
             print(f"Resumed from epoch {restored['epoch']}")
 
@@ -438,7 +439,7 @@ def train(project: Project,
             if trace_dir and epoch == start_epoch and it == min(3, iters - 1):
                 jax.profiler.start_trace(trace_dir)
                 tracing = True
-            lr = alrs.lr * warmup_factor(cfg, epoch, it, iters)
+            lr = sched.lr_for(epoch) * warmup_factor(cfg, epoch, it, iters)
             if use_device_cache:
                 # `batch` is the raw [B] index vector; the step gathers
                 # from the device-resident arrays internally.
@@ -481,9 +482,9 @@ def train(project: Project,
                  num_classes=len(labels))
         # ALRS step BEFORE checkpointing so a resumed scheduler has this
         # epoch's loss in its buffer.
-        should_stop = alrs.step(epoch, epoch_loss)
+        should_stop = sched.step(epoch, epoch_loss)
         ckpt.save_train_checkpoint(output_dir, state, epoch,
-                                   alrs.state_dict(), model_cfg=cfg.model)
+                                   sched.state_dict(), model_cfg=cfg.model)
         if should_stop:
             break
 
@@ -498,20 +499,67 @@ def train(project: Project,
         os.makedirs(output_dir, exist_ok=True)
         ckpt.save_model(output_dir, state.params, state.frozen, cfg.model,
                         labels)
-        ckpt.save_labels(output_dir, labels)
-        ckpt.save_results(output_dir, stats, STAT_NAMES)
-        if getattr(final_eval, "segm_stats", None) is not None:
-            ckpt.save_results(output_dir, final_eval.segm_stats, STAT_NAMES,
-                              filename="results_segm.txt")
-        if getattr(final_eval, "keypoints_stats", None) is not None:
-            ckpt.save_results(output_dir, final_eval.keypoints_stats,
-                              STAT_NAMES, filename="results_keypoints.txt")
-        if len(labels) > 1:
-            # Per-class breakdown (beyond the reference: its pycocotools
-            # summary only reports class-averaged stats).
-            per_class = final_eval.per_class_text(labels)
-            with open(os.path.join(output_dir, "results_per_class.txt"),
-                      "w") as f:
-                f.write(per_class + "\n")
-            print(per_class)
+        _save_aux_results(output_dir, final_eval, stats, labels)
     return output_dir
+
+
+def _save_aux_results(output_dir, final_eval, stats, labels):
+    ckpt.save_labels(output_dir, labels)
+    ckpt.save_results(output_dir, stats, STAT_NAMES)
+    if getattr(final_eval, "segm_stats", None) is not None:
+        ckpt.save_results(output_dir, final_eval.segm_stats, STAT_NAMES,
+                          filename="results_segm.txt")
+    if getattr(final_eval, "keypoints_stats", None) is not None:
+        ckpt.save_results(output_dir, final_eval.keypoints_stats,
+                          STAT_NAMES, filename="results_keypoints.txt")
+    if len(labels) > 1:
+        # Per-class breakdown (beyond the reference: its pycocotools
+        # summary only reports class-averaged stats).
+        per_class = final_eval.per_class_text(labels)
+        with open(os.path.join(output_dir, "results_per_class.txt"),
+                  "w") as f:
+            f.write(per_class + "\n")
+        print(per_class)
+
+
+def evaluate_model(project: Project,
+                   model_dir: str,
+                   batch_size: int = 2,
+                   num_workers: int = 4,
+                   output_dir: Optional[str] = None):
+    """Evaluate a SAVED model on ``project`` without training — the
+    vendored trainer's ``--test-only`` mode
+    (`miso/object_detection/engine/train.py:273-276`).
+
+    Every annotated image in ``project`` is scored (the caller supplies
+    the held-out tasks); returns the 12 bbox COCO stats.  When
+    ``output_dir`` is given the results files are written there in the
+    training artifacts' format.
+    """
+    params, frozen, model_cfg, labels = ckpt.load_model(model_dir)
+    project = copy.deepcopy(project)
+    project.keep_annotations_with_label(labels)
+    project.remove_unlabelled_images()
+    project.update_label_dict()
+    if not project.image_dict:
+        raise ValueError("Project has no annotated images with the model's "
+                         f"labels {labels}")
+    dataset = DetectionDataset(project, image_size=model_cfg.image_size,
+                               max_gt=model_cfg.max_gt_boxes,
+                               label_names=labels,
+                               with_masks=model_cfg.with_mask,
+                               mask_stride=model_cfg.mask_gt_stride,
+                               with_keypoints=model_cfg.with_keypoints,
+                               num_keypoints=model_cfg.num_keypoints)
+    loader = Loader(dataset, batch_size, shuffle=False,
+                    num_workers=num_workers)
+    model = make_detector(model_cfg)
+    params, frozen = jax.device_put((params, frozen), jax.devices()[0])
+    eval_step = make_eval_step(model)
+    print(f"Evaluating {model_dir} on {len(dataset)} images")
+    final_eval, stats = evaluate(eval_step, params, frozen, loader,
+                                 num_classes=len(labels))
+    if output_dir is not None and is_main_process():
+        os.makedirs(output_dir, exist_ok=True)
+        _save_aux_results(output_dir, final_eval, stats, labels)
+    return stats
