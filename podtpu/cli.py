@@ -103,6 +103,14 @@ def cli():
               default="sgd", show_default=True,
               help="Optimiser to use (adamw = the vendored trainer's "
                    "decoupled-weight-decay option)")
+@click.option("--lr", type=float, default=None,
+              help="Learning rate override for the selected optimiser "
+                   "(defaults: sgd 0.005 — the miso default — and "
+                   "adam/adamw 0.001)")
+@click.option("--weight-decay", type=float, default=None,
+              help="Weight decay override (default 5e-4, the miso SGD "
+                   "recipe; applies to sgd and adamw — plain adam carries "
+                   "no decay term, matching the reference)")
 @click.option("--lr-schedule", type=click.Choice(["alrs", "multistep",
                                                   "cosine"]),
               default="alrs", show_default=True,
@@ -176,7 +184,8 @@ def cli():
 @add_options(server_options)
 def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           output_dir, model, data, max_epochs, alrs_epochs,
-                          optimiser, lr_schedule, epochs, lr_steps, lr_gamma,
+                          optimiser, lr, weight_decay,
+                          lr_schedule, epochs, lr_steps, lr_gamma,
                           norm_weight_decay, image_size, pretrained, resume,
                           with_mask, with_keypoints, num_keypoints,
                           keypoint_hflip_inds,
@@ -192,21 +201,15 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
 
     project = _load_tasks(task_ids, server, wsl2, api, username, password,
                           image_root=image_root)
-    if test_only:
-        if not model:
-            raise click.BadParameter(
-                "--test-only needs --model (the saved model's name under "
-                "--output-dir)")
-        from podtpu.train.train import evaluate_model
-        evaluate_model(project, os.path.join(output_dir, model),
-                       batch_size=batch_size)
-        return
     test_project = None
-    if test_tasks:
+    if test_tasks and not test_only:
         test_ids = [int(t.strip()) for t in test_tasks.split(",")]
         test_project = _load_tasks(test_ids, server, wsl2, api, username,
                                    password, image_root=image_root)
 
+    # --merge-label / --labels preprocessing applies to BOTH training and
+    # --test-only: a model trained with merged labels must see the same
+    # renames at evaluation time, or every image looks unannotated.
     if merge_label is not None:
         for proj in [project] + ([test_project] if test_project else []):
             for label in list(proj.label_dict.values()):
@@ -214,6 +217,19 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                     proj.rename_label(label.name, merge_label)
             proj.update_label_dict()
         labels = [merge_label]
+
+    if test_only:
+        if not model:
+            raise click.BadParameter(
+                "--test-only needs --model (the saved model's name under "
+                "--output-dir)")
+        if labels is not None:
+            project.keep_annotations_with_label(labels)
+            project.update_label_dict()
+        from podtpu.train.train import evaluate_model
+        evaluate_model(project, os.path.join(output_dir, model),
+                       batch_size=batch_size)
+        return
 
     cfg = Config()
     cfg = dataclasses.replace(
@@ -223,6 +239,14 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
             cfg.train, lr_schedule=lr_schedule, epochs=epochs,
             lr_steps=tuple(int(s.strip()) for s in lr_steps.split(",")),
             lr_gamma=lr_gamma, norm_weight_decay=norm_weight_decay))
+    if lr is not None:
+        # One flag steers whichever optimiser was selected (the vendored
+        # trainer's --lr drives SGD and AdamW alike, engine/train.py:238-250).
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, lr=lr, adam_lr=lr))
+    if weight_decay is not None:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, weight_decay=weight_decay))
     if keypoint_hflip_inds:
         inds = tuple(int(i) for i in keypoint_hflip_inds.split(","))
         # Must be a permutation of range(num_keypoints): a wrong length

@@ -60,13 +60,20 @@ class DeviceDataCache:
     the caller folds it into ``batch_valid`` like the streaming loader does.
     """
 
-    def __init__(self, dataset, device=None, decode_batch: int = 16):
+    def __init__(self, dataset, device=None, decode_batch: int = 16,
+                 pad_to_multiple: int = 1):
+        """``pad_to_multiple``: pad the sample axis so it divides a mesh
+        (sample-SHARDED placement under DP — pass the mesh size and a
+        ``NamedSharding(mesh, P('data'))`` as ``device``); pad slots
+        duplicate sample 0 with ``ok=False`` so they never contribute."""
         import jax
 
         device = device if device is not None else jax.devices()[0]
         n = len(dataset)
+        pad = (-n) % max(1, pad_to_multiple)
         fields: Dict[str, list] = {}
-        ok = np.ones((n,), bool)
+        ok = np.ones((n + pad,), bool)
+        ok[n:] = False
         for start in range(0, n, decode_batch):
             idx = list(range(start, min(start + decode_batch, n)))
             for s in dataset.load_batch(idx):
@@ -85,9 +92,12 @@ class DeviceDataCache:
                 if s.keypoints is not None:
                     rec["keypoints"] = s.keypoints
                 for k, v in rec.items():
-                    fields.setdefault(k, [None] * n)[s.index] = v
+                    fields.setdefault(k, [None] * (n + pad))[s.index] = v
+        for k, v in fields.items():
+            for j in range(n, n + pad):
+                v[j] = v[0]
         self.ok = ok
-        self.n = n
+        self.n = n + pad
         # One device_put per field: the dataset crosses the link ONCE.
         self.arrays = {
             k: jax.device_put(np.stack(v), device)
@@ -142,6 +152,113 @@ def make_cached_dp_train_step(dp_train_step, mesh, axis_name: str = "data"):
         return gather_step(state, arrays, idx, image_weight, rng, lr)
 
     return step
+
+
+def make_sharded_cached_dp_train_step(per_shard, mesh,
+                                      axis_name: str = "data"):
+    """DP step over a sample-SHARDED device cache: each device holds 1/N of
+    the dataset (``arrays`` placed with ``P('data')`` on the sample axis)
+    and gathers its batch slice from its LOCAL block — per-device HBM is
+    total/N instead of the replicated cache's N× total (the VERDICT r2
+    scalability fix), still with zero per-step host image traffic.
+
+    The loader must supply GLOBAL index vectors whose per-device slice
+    references only that device's shard (``ShardedDeviceLoader``); inside
+    the shard_map the local offset is recovered from the block size.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = P()
+    data = P(axis_name)
+
+    def body(state, arrays, idx, image_weight, rng, lr):
+        # arrays values arrive as the LOCAL block [n/N, ...]; idx arrives
+        # as this device's [b] slice of the global index vector.
+        shard_size = next(iter(arrays.values())).shape[0]
+        local = idx - jax.lax.axis_index(axis_name) * shard_size
+        batch = {k: v[local] for k, v in arrays.items()}
+        batch["image_weight"] = image_weight
+        return per_shard(state, batch, rng, lr)
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(repl, data, data, data, repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False)
+    jitted = jax.jit(sharded, donate_argnums=(0,))
+    idx_shard = NamedSharding(mesh, data)
+
+    def step(state, arrays, idx, image_weight, rng, lr):
+        idx = jax.device_put(np.asarray(idx, np.int32), idx_shard)
+        image_weight = jax.device_put(
+            np.asarray(image_weight, np.float32), idx_shard)
+        return jitted(state, arrays, idx, image_weight, rng, lr)
+
+    return step
+
+
+class ShardedDeviceLoader:
+    """Loader over a sample-sharded :class:`DeviceDataCache`: yields
+    ``(global_idx [B], batch_valid [B])`` where the slice for device ``d``
+    (positions ``d*b:(d+1)*b``) references only samples homed on shard ``d``
+    (contiguous blocks of ``cache.n // num_shards``) — the DistributedSampler
+    constraint that makes the in-step gather collective-free."""
+
+    def __init__(self, cache: DeviceDataCache, batch_size: int,
+                 num_shards: int, indices: Optional[np.ndarray] = None,
+                 shuffle: bool = False, seed: int = 0):
+        assert cache.n % num_shards == 0, (cache.n, num_shards)
+        assert batch_size % num_shards == 0, (batch_size, num_shards)
+        self.cache = cache
+        self.num_shards = num_shards
+        self.per_device = batch_size // num_shards
+        self.shard_size = cache.n // num_shards
+        indices = np.asarray(
+            indices if indices is not None else np.arange(cache.n))
+        self.shard_indices = [
+            indices[indices // self.shard_size == d]
+            for d in range(num_shards)
+        ]
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        longest = max(len(s) for s in self.shard_indices)
+        return -(-longest // self.per_device) if longest else 0
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self._epoch)
+        orders = []
+        for d, si in enumerate(self.shard_indices):
+            order = si.copy()
+            if self.shuffle:
+                rng.shuffle(order)
+            orders.append(order)
+        steps = len(self)
+        b = self.per_device
+        for t in range(steps):
+            idx = np.zeros((self.num_shards * b,), np.int32)
+            valid = np.zeros((self.num_shards * b,), bool)
+            for d, order in enumerate(orders):
+                lo = t * b
+                if len(order) == 0:
+                    # Empty shard: point at its first slot, weight 0.
+                    idx[d * b:(d + 1) * b] = d * self.shard_size
+                    continue
+                take = np.arange(lo, lo + b)
+                # Wrap-around duplicates are weight-0 (loss masking), the
+                # streaming Loader's static-shape contract.
+                valid_d = take < len(order)
+                idx[d * b:(d + 1) * b] = order[take % len(order)]
+                valid[d * b:(d + 1) * b] = \
+                    valid_d & self.cache.ok[order[take % len(order)]]
+            yield idx, valid
 
 
 class DeviceLoader:

@@ -72,6 +72,105 @@ def paste_masks(masks: np.ndarray, boxes: np.ndarray, out_h: int,
         if len(masks) else np.zeros((0, out_h, out_w), np.float32)
 
 
+class RegionMask:
+    """A FULL-RESOLUTION instance mask stored only over its bounding window.
+
+    This is the memory shape of pycocotools' RLE (the reference RLE-encodes
+    masks at full image resolution for segm eval,
+    `miso/object_detection/engine/coco_eval.py:110-114`): exact original-pixel
+    IoU without ever materialising ``[N, H, W]`` canvases (300 detections at
+    1024^2 would be gigabytes).  ``bitmap`` is bool ``[h, w]`` anchored at
+    ``(y0, x0)`` in the full-resolution frame."""
+
+    __slots__ = ("x0", "y0", "bitmap", "_area")
+
+    def __init__(self, x0: int, y0: int, bitmap: np.ndarray):
+        self.x0 = int(x0)
+        self.y0 = int(y0)
+        self.bitmap = np.asarray(bitmap, bool)
+        self._area = None
+
+    @property
+    def area(self) -> int:
+        if self._area is None:
+            self._area = int(self.bitmap.sum())
+        return self._area
+
+    def intersection(self, other: "RegionMask") -> int:
+        ax1 = self.x0 + self.bitmap.shape[1]
+        ay1 = self.y0 + self.bitmap.shape[0]
+        bx1 = other.x0 + other.bitmap.shape[1]
+        by1 = other.y0 + other.bitmap.shape[0]
+        x0, y0 = max(self.x0, other.x0), max(self.y0, other.y0)
+        x1, y1 = min(ax1, bx1), min(ay1, by1)
+        if x1 <= x0 or y1 <= y0:
+            return 0
+        a = self.bitmap[y0 - self.y0:y1 - self.y0, x0 - self.x0:x1 - self.x0]
+        b = other.bitmap[y0 - other.y0:y1 - other.y0,
+                         x0 - other.x0:x1 - other.x0]
+        return int(np.count_nonzero(a & b))
+
+
+def paste_region_mask(mask: np.ndarray, box: np.ndarray, out_h: int,
+                      out_w: int, thresh: float = 0.5) -> RegionMask:
+    """``paste_mask`` that keeps only the box-bounded window (binary)."""
+    x0, y0, x1, y1 = [float(v) for v in box]
+    px0 = min(max(int(np.floor(x0)), 0), out_w)
+    py0 = min(max(int(np.floor(y0)), 0), out_h)
+    px1 = max(min(int(np.ceil(x1)), out_w), px0)
+    py1 = max(min(int(np.ceil(y1)), out_h), py0)
+    if px1 <= px0 or py1 <= py0 or x1 <= x0 or y1 <= y0:
+        return RegionMask(px0, py0, np.zeros((0, 0), bool))
+    # Reuse paste_mask's sampling by pasting into a window-local canvas
+    # whose frame is shifted by (px0, py0).
+    local_box = np.asarray([x0 - px0, y0 - py0, x1 - px0, y1 - py0])
+    window = paste_mask(mask, local_box, py1 - py0, px1 - px0)
+    return RegionMask(px0, py0, window > thresh)
+
+
+def paste_region_masks(masks: np.ndarray, boxes: np.ndarray, out_h: int,
+                       out_w: int, thresh: float = 0.5) -> List[RegionMask]:
+    return [paste_region_mask(m, b, out_h, out_w, thresh)
+            for m, b in zip(masks, boxes)]
+
+
+def rasterize_region(annotation, out_h: int, out_w: int) -> RegionMask:
+    """Rasterize a gt annotation (polygon or rectangle) at FULL original
+    resolution, bounded by its box.  Eval-side counterpart of the
+    stride-downsampled training targets (``DetectionDataset._finish``)."""
+    x0f, y0f, x1f, y1f = [float(v) for v in annotation.coords]
+    px0 = min(max(int(np.floor(x0f)), 0), out_w)
+    py0 = min(max(int(np.floor(y0f)), 0), out_h)
+    px1 = max(min(int(np.ceil(x1f)), out_w), px0)
+    py1 = max(min(int(np.ceil(y1f)), out_h), py0)
+    h, w = py1 - py0, px1 - px0
+    if h <= 0 or w <= 0:
+        return RegionMask(px0, py0, np.zeros((0, 0), bool))
+    xs = getattr(annotation, "xs", None)
+    if xs is not None:  # polygon
+        from PIL import Image, ImageDraw
+        im = Image.new("L", (w, h), 0)
+        pts = [(x - px0, y - py0)
+               for x, y in zip(annotation.xs, annotation.ys)]
+        if len(pts) >= 3:
+            ImageDraw.Draw(im).polygon(pts, outline=1, fill=1)
+        return RegionMask(px0, py0, np.asarray(im, bool))
+    return RegionMask(px0, py0, np.ones((h, w), bool))  # filled rectangle
+
+
+def region_mask_iou(a: List[RegionMask], b: List[RegionMask]) -> np.ndarray:
+    """Pairwise IoU between two lists of :class:`RegionMask` (exact
+    full-resolution mask IoU; zero-overlap windows short-circuit)."""
+    iou = np.zeros((len(a), len(b)))
+    for i, ra in enumerate(a):
+        for j, rb in enumerate(b):
+            inter = ra.intersection(rb)
+            if inter:
+                union = ra.area + rb.area - inter
+                iou[i, j] = inter / union if union > 0 else 0.0
+    return iou
+
+
 def mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise IoU between ``[N, H, W]`` and ``[M, H, W]`` boolean masks."""
     if len(a) == 0 or len(b) == 0:

@@ -14,6 +14,27 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Optional per-feature-map sharding hook (set during tracing by
+# podtpu.parallel.spatial): under spatial partitioning GSPMD otherwise
+# invents inconsistent shardings for the coarse levels' lateral/post adds
+# ("involuntary full rematerialization" — full-tensor replication on the
+# mesh).  The hook pins each tap to an explicit, consistent spec.
+_FEATURE_CONSTRAINT = None
+
+
+def set_feature_constraint(fn):
+    """Install ``fn(x) -> x`` applied to every FPN tap during tracing;
+    returns the previous hook so callers can restore it."""
+    global _FEATURE_CONSTRAINT
+    prev = _FEATURE_CONSTRAINT
+    _FEATURE_CONSTRAINT = fn
+    return prev
+
+
+def _constrain(x: jnp.ndarray) -> jnp.ndarray:
+    return _FEATURE_CONSTRAINT(x) if _FEATURE_CONSTRAINT is not None else x
+
+
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbour 2x upsample in NHWC (broadcast, no gather)."""
     b, h, w, c = x.shape
@@ -61,7 +82,7 @@ class FPN(nn.Module):
 
         f0 = self.first_level
         laterals = [
-            conv(self.out_channels, 1, f"lateral{i + f0}")(c)
+            _constrain(conv(self.out_channels, 1, f"lateral{i + f0}")(c))
             for i, c in enumerate(inputs)
         ]
         # Top-down pathway: resize coarse to the lateral's grid and add.
@@ -75,11 +96,11 @@ class FPN(nn.Module):
                 up = upsample_nearest_2x(up)
                 # Defensive crop if odd sizes appear (canvas /64 avoids it).
                 up = up[:, : lat.shape[1], : lat.shape[2], :]
-            tops.append(lat + up)
+            tops.append(_constrain(lat + up))
         tops = tops[::-1]  # fine -> coarse
 
         outs = [
-            conv(self.out_channels, 3, f"post{i + f0}")(t)
+            _constrain(conv(self.out_channels, 3, f"post{i + f0}")(t))
             for i, t in enumerate(tops)
         ]
         if self.extra == "pool":

@@ -198,26 +198,51 @@ def keypoint_loss(
 
 def heatmaps_to_keypoints(kp_logits: jnp.ndarray,
                           rois: jnp.ndarray) -> jnp.ndarray:
-    """Heatmap argmax -> image-space keypoints ``[D, K, 3]`` (x, y, score).
+    """Heatmap peak -> image-space keypoints ``[D, K, 3]`` (x, y, score).
 
-    Static-shape counterpart of torchvision's ``heatmaps_to_keypoints``:
-    the cell centre maps back through the RoI scale (torchvision bicubically
-    resizes the heatmap to the RoI first — sub-cell precision this skips;
-    at heatmap 56 the quantisation is w/112 px).  Score is the softmax
-    probability at the argmax cell.
+    Static-shape counterpart of torchvision's ``heatmaps_to_keypoints``,
+    which bicubically resizes each 56x56 heatmap to the RoI's pixel size
+    before the argmax (sub-cell precision).  A dynamic per-RoI resize cannot
+    be jitted; the equivalent here is QUADRATIC SUB-CELL PEAK REFINEMENT:
+    fit a parabola through the argmax cell and its two axis neighbours and
+    take its vertex (the classical sub-pixel peak estimator — the continuous
+    peak a bicubic upsample's argmax approaches as the upsample factor
+    grows).  Offsets are clamped to half a cell; border argmaxes keep the
+    cell centre.  Score is the softmax probability at the argmax cell.
     """
     d, h, _, k = kp_logits.shape
     flat = jnp.swapaxes(kp_logits.reshape(d, h * h, k), 1, 2)  # [D, K, HH]
     idx = jnp.argmax(flat, axis=-1)                            # [D, K]
     prob = jax.nn.softmax(flat, axis=-1)
     score = jnp.take_along_axis(prob, idx[..., None], axis=-1)[..., 0]
-    yi = (idx // h).astype(jnp.float32) + 0.5
-    xi = (idx % h).astype(jnp.float32) + 0.5
+    yi = (idx // h).astype(jnp.int32)
+    xi = (idx % h).astype(jnp.int32)
+
+    def val_at(yy, xx):
+        lin = jnp.clip(yy, 0, h - 1) * h + jnp.clip(xx, 0, h - 1)
+        return jnp.take_along_axis(flat, lin[..., None], axis=-1)[..., 0]
+
+    def refine(lo, c, hi, at_border):
+        # Parabola vertex through (−1, lo), (0, c), (+1, hi); the denominator
+        # is ≥ 0 at an argmax — guard the flat case and clamp to ±0.5 cells.
+        denom = (lo - 2.0 * c + hi)
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (lo - hi) / jnp.where(denom == 0, 1.0, denom),
+                        0.0)
+        return jnp.where(at_border, 0.0, jnp.clip(off, -0.5, 0.5))
+
+    v0 = val_at(yi, xi)
+    dx = refine(val_at(yi, xi - 1), v0, val_at(yi, xi + 1),
+                (xi <= 0) | (xi >= h - 1))
+    dy = refine(val_at(yi - 1, xi), v0, val_at(yi + 1, xi),
+                (yi <= 0) | (yi >= h - 1))
+    xf = xi.astype(jnp.float32) + 0.5 + dx
+    yf = yi.astype(jnp.float32) + 0.5 + dy
     x1, y1 = rois[:, 0:1], rois[:, 1:2]
     w = jnp.maximum(rois[:, 2:3] - x1, 1e-6)
     hgt = jnp.maximum(rois[:, 3:4] - y1, 1e-6)
-    x = x1 + xi * w / h
-    y = y1 + yi * hgt / h
+    x = x1 + xf * w / h
+    y = y1 + yf * hgt / h
     return jnp.stack([x, y, score], axis=-1)
 
 

@@ -705,12 +705,37 @@ def load_pretrained(variables: Dict, path: str, verbose: bool = True) -> Dict:
     """Load a pretrained checkpoint file into ``variables``.
 
     Accepts a torch ``.pth``/``.pt`` state_dict (requires the baked-in CPU
-    torch) or a previously converted flax ``.msgpack``.
+    torch), a flax ``.msgpack``, or a podtpu model DIRECTORY (its
+    ``model.msgpack`` is used — the fine-tune-from-a-previous-run path).
     """
+    import os
+    if os.path.isdir(path):
+        path = os.path.join(path, "model.msgpack")
     if path.endswith(".msgpack"):
-        from flax import serialization
+        from flax import serialization, traverse_util
         with open(path, "rb") as fp:
-            return serialization.msgpack_restore(fp.read())
+            restored = serialization.msgpack_restore(fp.read())
+        # Shape-aware merge (the reference's head-replacement semantics,
+        # `models.py:10-12`): fine-tuning a saved podtpu model on a task
+        # with a DIFFERENT label count keeps its backbone/FPN/RPN and
+        # re-initialises the class-sized heads.
+        flat_new = traverse_util.flatten_dict(restored)
+        flat = traverse_util.flatten_dict(variables)
+        copied = skipped = 0
+        for k, v in flat_new.items():
+            if k in flat and np.shape(flat[k]) == np.shape(v):
+                flat[k] = v
+                copied += 1
+            else:
+                skipped += 1
+                if verbose:
+                    print(f"[pretrained] skipping {'/'.join(map(str, k))} "
+                          f"(shape {np.shape(v)} vs "
+                          f"{np.shape(flat.get(k, None))})")
+        if verbose:
+            print(f"[pretrained] {copied} tensors loaded, "
+                  f"{skipped} skipped from {path}")
+        return traverse_util.unflatten_dict(flat)
     import torch
     payload = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = payload.get("state_dict", payload) \

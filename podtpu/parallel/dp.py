@@ -42,17 +42,12 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
-                       axis_name: str = "data"):
-    """Build the sharded train step.
-
-    Batch arrays are sharded along ``data``; state is replicated.  Returns
-    ``(step_fn, shard_batch)`` where ``shard_batch`` places a host batch onto
-    the mesh with the right sharding.
-    """
-    batch_spec = P(axis_name)
-    replicated = P()
-
+def make_dp_per_shard(model: FasterRCNN, tx, cfg: Config,
+                      axis_name: str = "data"):
+    """The per-device body of the DP train step (augment + forward + loss +
+    grad + pmean allreduce + update) — shared between the streaming path
+    (`make_dp_train_step`) and the sample-sharded device cache
+    (`podtpu.data.device_cache.make_sharded_cached_dp_train_step`)."""
     from podtpu.data.presets import (augment_batch_policy, get_policy,
                                      policy_kwargs)
 
@@ -107,6 +102,21 @@ def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
         metrics["lr"] = lr
         return TrainState(params=params, frozen=state.frozen,
                           opt_state=opt_state, step=state.step + 1), metrics
+
+    return per_shard
+
+
+def make_dp_train_step(model: FasterRCNN, tx, cfg: Config, mesh: Mesh,
+                       axis_name: str = "data"):
+    """Build the sharded train step.
+
+    Batch arrays are sharded along ``data``; state is replicated.  Returns
+    ``(step_fn, shard_batch)`` where ``shard_batch`` places a host batch onto
+    the mesh with the right sharding.
+    """
+    batch_spec = P(axis_name)
+    replicated = P()
+    per_shard = make_dp_per_shard(model, tx, cfg, axis_name)
 
     # batch_spec is a pytree prefix: every array in the batch dict shards
     # along the data axis.

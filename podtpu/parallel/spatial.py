@@ -51,12 +51,29 @@ def make_spatial_eval_step(model: FasterRCNN, mesh: Mesh,
     """
     img_sharding = NamedSharding(mesh, P(None, axis_name))
     repl = NamedSharding(mesh, P())
+    n = int(np.prod(mesh.devices.shape))
+
+    def constrain_feature(x):
+        # Pin every FPN tap to a consistent explicit sharding: height-split
+        # while the rows still divide the mesh, replicated at the coarse
+        # levels (whose maps are tiny).  Without this GSPMD invents
+        # conflicting specs for the lateral/post adds and falls back to
+        # "involuntary full rematerialization" (full-tensor replication).
+        h = x.shape[1]
+        spec = P(None, axis_name) if (h >= n and h % n == 0) else P()
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     def fn(params, frozen, images):
+        from podtpu.models.fpn import set_feature_constraint
+
         images = jax.lax.with_sharding_constraint(images, img_sharding)
-        # uint8 -> float happens inside the model's _features.
-        return model.apply({"params": params, "frozen": frozen},
-                           images, train=False)
+        prev = set_feature_constraint(constrain_feature)
+        try:
+            # uint8 -> float happens inside the model's _features.
+            return model.apply({"params": params, "frozen": frozen},
+                               images, train=False)
+        finally:
+            set_feature_constraint(prev)
 
     return jax.jit(fn,
                    in_shardings=(repl, repl, img_sharding),

@@ -127,13 +127,24 @@ class AdaptiveLearningRateScheduler:
                   f"buffer full? {self.buffer.full()}")
         return self.buffer.full() and prob < 0.50
 
+    def exhausted(self, epoch: int) -> bool:
+        """Scheduler-protocol: True when no further training epoch should
+        run (a resumed checkpoint whose run already early-stopped)."""
+        return self.finished
+
     # -- checkpointable state ------------------------------------------------
     def state_dict(self) -> dict:
-        return {"drop_count": self.drop_count,
+        return {"schedule": "alrs",
+                "drop_count": self.drop_count,
                 "buffer": self.buffer.values(),
                 "finished": self.finished}
 
     def load_state_dict(self, state: dict) -> None:
+        kind = state.get("schedule", "alrs")
+        if kind != "alrs":
+            raise ValueError(
+                f"checkpoint was saved with --lr-schedule {kind!r}; resume "
+                f"with the same schedule (got 'alrs')")
         self.drop_count = int(state["drop_count"])
         self.buffer.clear()
         for v in state["buffer"]:

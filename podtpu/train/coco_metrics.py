@@ -181,14 +181,25 @@ class COCOEvaluator:
             gt_keypoints = np.asarray(gt_keypoints, np.float64)
             dt_keypoints = np.asarray(dt_keypoints, np.float64)
         segm = self.iou_type == "segm"
+        region_masks = False
         if segm:
             assert gt_masks is not None and dt_masks is not None
-            gt_masks = np.asarray(gt_masks).astype(bool)
-            dt_masks = np.asarray(dt_masks).astype(bool)
-            # sum over the grid axes directly (reshape(-1) breaks on zero
-            # detections: numpy cannot infer -1 for a size-0 array).
-            gt_area = gt_masks.sum(axis=(1, 2)) * area_scale
-            dt_area = dt_masks.sum(axis=(1, 2)) * area_scale
+            # Full-resolution path: lists of RegionMask (box-bounded
+            # original-pixel bitmaps — the RLE-equivalent representation);
+            # legacy path: [N, H, W] bitmaps on a common grid.
+            region_masks = isinstance(gt_masks, list)
+            if region_masks:
+                gt_area = np.asarray([m.area for m in gt_masks], np.float64) \
+                    * area_scale
+                dt_area = np.asarray([m.area for m in dt_masks], np.float64) \
+                    * area_scale
+            else:
+                gt_masks = np.asarray(gt_masks).astype(bool)
+                dt_masks = np.asarray(dt_masks).astype(bool)
+                # sum over the grid axes directly (reshape(-1) breaks on zero
+                # detections: numpy cannot infer -1 for a size-0 array).
+                gt_area = gt_masks.sum(axis=(1, 2)) * area_scale
+                dt_area = dt_masks.sum(axis=(1, 2)) * area_scale
         else:
             gt_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * \
                       (gt_boxes[:, 3] - gt_boxes[:, 1])
@@ -204,7 +215,13 @@ class COCOEvaluator:
             # Detections in descending score order, capped at max maxDets.
             order = np.argsort(-d_score, kind="stable")[: max(self.max_dets)]
             d_area, d_score = d_area[order], d_score[order]
-            if segm:
+            if segm and region_masks:
+                from podtpu.infer.masks import region_mask_iou
+                d_idx = np.flatnonzero(d_sel)[order]
+                iou = region_mask_iou([dt_masks[i] for i in d_idx],
+                                      [gt_masks[i]
+                                       for i in np.flatnonzero(g_sel)])
+            elif segm:
                 from podtpu.infer.masks import mask_iou
                 iou = mask_iou(dt_masks[d_sel][order], gt_masks[g_sel])
             elif kps:

@@ -72,13 +72,35 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
                 dt_labels=det_np["labels"][i][dv],
             )
             if do_segm:
-                from podtpu.infer.masks import paste_masks
-                gm = batch["masks"][i][gv] > 0.5      # [Gv, Hm, Wm]
-                hm, wm = gm.shape[-2:]
-                stride = batch["image"].shape[1] / hm
-                dm = paste_masks(dt_masks[i][dv],
-                                 det_np["boxes"][i][dv] / stride,
-                                 hm, wm) > 0.5
+                dataset = getattr(loader, "dataset", None)
+                if dataset is not None:
+                    # Full-resolution segm eval (the reference RLE-encodes at
+                    # full image resolution, `engine/coco_eval.py:110-114`):
+                    # gt polygons rasterized at ORIGINAL pixels, predicted
+                    # masks pasted at original pixels, both box-bounded so
+                    # memory stays O(sum of box areas).  The stride-grid
+                    # bitmaps remain the TRAINING loss targets only.
+                    from podtpu.infer.masks import (paste_region_masks,
+                                                    rasterize_region)
+                    oh, ow = (int(v) for v in batch["original_size"][i])
+                    meta = dataset.images[int(batch["index"][i])]
+                    kept = [b for b in meta.boxes
+                            if b.label in dataset.label_to_index]
+                    kept = kept[:dataset.max_gt]
+                    gm = [rasterize_region(b, oh, ow) for b in kept]
+                    dm = paste_region_masks(
+                        dt_masks[i][dv], det_np["boxes"][i][dv] / scale,
+                        oh, ow)
+                    area_scale = 1.0
+                else:
+                    from podtpu.infer.masks import paste_masks
+                    gm = batch["masks"][i][gv] > 0.5      # [Gv, Hm, Wm]
+                    hm, wm = gm.shape[-2:]
+                    stride = batch["image"].shape[1] / hm
+                    dm = paste_masks(dt_masks[i][dv],
+                                     det_np["boxes"][i][dv] / stride,
+                                     hm, wm) > 0.5
+                    area_scale = (stride / scale) ** 2
                 segm_eval.update(
                     gt_boxes=batch["boxes"][i][gv] / scale,
                     gt_labels=batch["labels"][i][gv],
@@ -86,7 +108,7 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
                     dt_scores=det_np["scores"][i][dv],
                     dt_labels=det_np["labels"][i][dv],
                     gt_masks=gm, dt_masks=dm,
-                    area_scale=(stride / scale) ** 2,
+                    area_scale=area_scale,
                 )
             if do_kps:
                 gkp = batch["keypoints"][i][gv].astype(np.float64).copy()

@@ -97,6 +97,11 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
                 ), mask)
         return make(learning_rate=train_cfg.lr)
     if train_cfg.optimiser == "adam":
+        if train_cfg.norm_weight_decay is not None:
+            raise ValueError(
+                "--norm-weight-decay has no effect with --optimiser adam: "
+                "the plain-Adam chain applies no weight decay (reference "
+                "training.py:103-106); use sgd or adamw")
         @optax.inject_hyperparams
         def make(learning_rate):
             return optax.masked(

@@ -39,11 +39,17 @@ class MultiStepScheduler:
     def step(self, epoch: int, loss: float) -> bool:
         return epoch + 1 >= self.epochs
 
+    def exhausted(self, epoch: int) -> bool:
+        """True when the fixed budget is already spent (a resumed run whose
+        checkpoint is the final epoch must train ZERO further epochs — torch's
+        ``range(start_epoch, epochs)`` semantics)."""
+        return epoch >= self.epochs
+
     def state_dict(self) -> dict:
         return {"schedule": "multistep"}
 
     def load_state_dict(self, state: dict) -> None:
-        pass  # pure function of the epoch index
+        _check_schedule_kind(state, "multistep")
 
 
 class CosineScheduler:
@@ -62,11 +68,28 @@ class CosineScheduler:
     def step(self, epoch: int, loss: float) -> bool:
         return epoch + 1 >= self.epochs
 
+    def exhausted(self, epoch: int) -> bool:
+        return epoch >= self.epochs
+
     def state_dict(self) -> dict:
         return {"schedule": "cosine"}
 
     def load_state_dict(self, state: dict) -> None:
-        pass
+        _check_schedule_kind(state, "cosine")
+
+
+def _check_schedule_kind(state: dict, expect: str) -> None:
+    """Reject resuming a checkpoint under a different --lr-schedule: an ALRS
+    state under multistep would silently discard the drop/buffer state, and a
+    multistep state under alrs would KeyError deep in load_state_dict."""
+    kind = state.get("schedule")
+    if kind is None:
+        # Legacy ALRS checkpoints carried no tag but do carry drop_count.
+        kind = "alrs" if "drop_count" in state else expect
+    if kind != expect:
+        raise ValueError(
+            f"checkpoint was saved with --lr-schedule {kind!r}; resume with "
+            f"the same schedule (got {expect!r})")
 
 
 def make_scheduler(train_cfg, base_lr: float):

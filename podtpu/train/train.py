@@ -318,18 +318,28 @@ def train(project: Project,
     device_arrays = None
     if use_device_cache:
         if use_dp:
-            # Replicate the pinned dataset on every device: each shard
-            # gathers its own batch slice locally (no collectives).
-            place = NamedSharding(mesh, PartitionSpec())
+            # SHARD the pinned dataset by sample over the mesh (1/N per
+            # device — scales to real datasets on a pod, unlike a
+            # replicated cache's N× HBM); the loader homes each batch
+            # slice on its shard so the in-step gather stays local.
+            place = NamedSharding(mesh, PartitionSpec("data"))
+            cache = dcache.DeviceDataCache(dataset, device=place,
+                                           pad_to_multiple=num_devices)
+            loader_train = dcache.ShardedDeviceLoader(
+                cache, global_batch, num_shards=num_devices,
+                indices=train_idx, shuffle=True, seed=seed)
         else:
-            place = jax.devices()[0]
-        cache = dcache.DeviceDataCache(dataset, device=place)
+            cache = dcache.DeviceDataCache(dataset,
+                                           device=jax.devices()[0])
+            loader_train = dcache.DeviceLoader(
+                cache, global_batch, indices=train_idx, shuffle=True,
+                seed=seed, raw=True)
         device_arrays = cache.arrays
-        loader_train = dcache.DeviceLoader(
-            cache, global_batch, indices=train_idx, shuffle=True, seed=seed,
-            raw=True)
-        print("Training data pinned on device "
-              f"({dcache.dataset_device_bytes(len(dataset), cfg.model.image_size, cfg.model.max_gt_boxes, cfg.model.with_mask, cfg.model.mask_gt_stride) >> 20} MiB)")
+        total_mib = dcache.dataset_device_bytes(
+            len(dataset), cfg.model.image_size, cfg.model.max_gt_boxes,
+            cfg.model.with_mask, cfg.model.mask_gt_stride) >> 20
+        per_dev = f", ~{total_mib // num_devices} MiB/device" if use_dp else ""
+        print(f"Training data pinned on device ({total_mib} MiB{per_dev})")
     else:
         # With device_prefetch, train batches are placed on device (or
         # sharded over the mesh) by the loader's producer thread,
@@ -401,15 +411,19 @@ def train(project: Project,
 
     dp_shard_batch = None
     if use_dp:
-        from podtpu.parallel.dp import make_dp_eval_step, make_dp_train_step
-        train_step, dp_shard_batch = make_dp_train_step(model, tx, cfg, mesh)
+        from podtpu.parallel.dp import (make_dp_eval_step, make_dp_per_shard,
+                                        make_dp_train_step)
         eval_step = make_dp_eval_step(model, mesh)
         # init_variables commits params to a single device; the DP step
         # needs them REPLICATED on the mesh (a single-device commitment
         # conflicts with the mesh-sharded batch under jit).
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         if use_device_cache:
-            train_step = dcache.make_cached_dp_train_step(train_step, mesh)
+            train_step = dcache.make_sharded_cached_dp_train_step(
+                make_dp_per_shard(model, tx, cfg), mesh)
+        else:
+            train_step, dp_shard_batch = make_dp_train_step(
+                model, tx, cfg, mesh)
     else:
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model)
@@ -426,7 +440,15 @@ def train(project: Project,
     tracing = False
     epoch = start_epoch
     stats = None
+    final_eval = None
     for epoch in range(start_epoch, max_epochs):
+        if sched.exhausted(epoch):
+            # A resumed run whose budget is already spent (fixed-schedule
+            # final epoch, or a finished ALRS run) trains ZERO further
+            # epochs instead of overwriting the final model.
+            print(f"Schedule budget already spent at epoch {epoch}; "
+                  "not training further")
+            break
         loader_train.set_epoch(epoch)
         logger = MetricLogger()
         iters = len(loader_train)
@@ -478,8 +500,12 @@ def train(project: Project,
         if cfg.train.nan_is_fatal and not np.isfinite(epoch_loss):
             print(f"Epoch loss is {epoch_loss}, stopping training")
             sys.exit(1)
-        evaluate(eval_step, state.params, state.frozen, loader_test,
-                 num_classes=len(labels))
+        # The per-epoch evaluation IS the final evaluation for the last
+        # epoch: the reference re-ran a full eval pass over the unchanged
+        # model for artifacts (training.py:131 vs :144) — the SURVEY §7
+        # quirk we deliberately do not reproduce.
+        final_eval, stats = evaluate(eval_step, state.params, state.frozen,
+                                     loader_test, num_classes=len(labels))
         # ALRS step BEFORE checkpointing so a resumed scheduler has this
         # epoch's loss in its buffer.
         should_stop = sched.step(epoch, epoch_loss)
@@ -490,8 +516,11 @@ def train(project: Project,
 
     print("-" * 80)
     print(f"Training finished, {epoch + 1} epochs")
-    final_eval, stats = evaluate(eval_step, state.params, state.frozen,
-                                 loader_test, num_classes=len(labels))
+    if stats is None:
+        # No epoch ran (resume of an already-finished run): evaluate once so
+        # the artifacts still reflect the restored model.
+        final_eval, stats = evaluate(eval_step, state.params, state.frozen,
+                                     loader_test, num_classes=len(labels))
     print("=" * 80)
 
     # -- artifacts (reference training.py:135-160) ---------------------------

@@ -162,3 +162,123 @@ class TestTrainWithDeviceCache:
                     alrs_startup_factor=1, config=tiny_config(),
                     num_workers=2)
         assert os.path.exists(os.path.join(out, "results.txt"))
+
+
+class TestShardedDeviceCache:
+    """Sample-SHARDED device cache under DP (VERDICT r2 #5a): each device
+    holds 1/N of the dataset; the loader homes batch slices on shards so
+    the in-step gather is local."""
+
+    def _setup(self, n_dev=4, batch=8):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.parallel.dp import (make_dp_per_shard,
+                                        make_dp_train_step, make_mesh)
+        from podtpu.train.optim import make_optimizer
+        from podtpu.train.step import create_train_state
+        from tests.test_parallel import make_batch, micro_cfg
+
+        cfg = micro_cfg()
+        model = FasterRCNN(cfg=cfg.model)
+        init_vars = model.init(jax.random.key(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = make_optimizer(cfg.train, cfg.model)
+        mesh = make_mesh(jax.devices()[:n_dev])
+        return (jax, jnp, NamedSharding, P, model, tx, mesh, cfg,
+                init_vars, make_batch, make_dp_per_shard,
+                make_dp_train_step, create_train_state)
+
+    def test_sharded_step_matches_streamed(self):
+        (jax, jnp, NamedSharding, P, model, tx, mesh, cfg, init_vars,
+         make_batch, make_dp_per_shard, make_dp_train_step,
+         create_train_state) = self._setup()
+        batch = make_batch(batch=8, seed=3)
+        w = np.ones(8, np.float32)
+        rng = jax.random.key(5)
+        lr = np.float32(0.01)
+
+        def fresh_state():
+            variables = jax.tree.map(jnp.array, init_vars)
+            st = create_train_state(variables, tx)
+            return jax.device_put(st, NamedSharding(mesh, P()))
+
+        dp_step, shard_batch = make_dp_train_step(model, tx, cfg, mesh)
+        streamed = dict(batch)
+        streamed["image_weight"] = w
+        _, m1 = dp_step(fresh_state(), shard_batch(streamed), rng, lr)
+
+        arrays = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                  for k, v in batch.items()}
+        sharded = dcache.make_sharded_cached_dp_train_step(
+            make_dp_per_shard(model, tx, cfg), mesh)
+        # Global indices in home order: device d owns samples [2d, 2d+2).
+        _, m2 = sharded(fresh_state(), arrays, np.arange(8), w, rng, lr)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+
+    def test_per_device_bytes_are_total_over_n(self, dataset):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.parallel.dp import make_mesh
+
+        n_dev = 4
+        mesh = make_mesh(jax.devices()[:n_dev])
+        cache = dcache.DeviceDataCache(
+            dataset, device=NamedSharding(mesh, P("data")),
+            pad_to_multiple=n_dev)
+        assert cache.n % n_dev == 0
+        # Padding marked invalid.
+        assert cache.ok[len(dataset):].sum() == 0
+        img = cache.arrays["image"]
+        total = img.nbytes
+        for shard in img.addressable_shards:
+            assert shard.data.nbytes == total // n_dev
+
+    def test_sharded_loader_covers_every_sample_in_home_shard(self, dataset):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.parallel.dp import make_mesh
+
+        n_dev, b = 4, 8
+        mesh = make_mesh(jax.devices()[:n_dev])
+        cache = dcache.DeviceDataCache(
+            dataset, device=NamedSharding(mesh, P("data")),
+            pad_to_multiple=n_dev)
+        train_idx = np.arange(len(dataset))
+        loader = dcache.ShardedDeviceLoader(cache, b, num_shards=n_dev,
+                                            indices=train_idx, shuffle=True,
+                                            seed=0)
+        shard_size = cache.n // n_dev
+        seen = set()
+        for idx, valid in loader:
+            assert idx.shape == (b,) and valid.shape == (b,)
+            per = b // n_dev
+            for d in range(n_dev):
+                sl = idx[d * per:(d + 1) * per]
+                # Every slot (valid or wrap padding) homed on shard d.
+                assert np.all(sl // shard_size == d), (d, sl)
+            seen.update(idx[valid].tolist())
+        assert seen == set(train_idx.tolist())
+
+    def test_epoch_shuffle_differs(self, dataset):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.parallel.dp import make_mesh
+
+        mesh = make_mesh(jax.devices()[:4])
+        cache = dcache.DeviceDataCache(
+            dataset, device=NamedSharding(mesh, P("data")),
+            pad_to_multiple=4)
+        loader = dcache.ShardedDeviceLoader(cache, 8, num_shards=4,
+                                            shuffle=True, seed=0)
+        loader.set_epoch(0)
+        e0 = [idx.copy() for idx, _ in loader]
+        loader.set_epoch(1)
+        e1 = [idx.copy() for idx, _ in loader]
+        assert not all(np.array_equal(a, b) for a, b in zip(e0, e1))

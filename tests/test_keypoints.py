@@ -409,3 +409,112 @@ class TestKeypointE2E:
         cy = (s.boxes[g0, 1] + s.boxes[g0, 3]) / 2
         np.testing.assert_allclose(s.keypoints[g0, 0, :2], [cx, cy],
                                    atol=1.5)
+
+
+class TestSubCellDecode:
+    """VERDICT r2 #4: torchvision's ``heatmaps_to_keypoints`` bicubically
+    upscales each heatmap to the RoI pixel size before the argmax (sub-cell
+    precision); podtpu uses quadratic sub-cell peak refinement.  Both must
+    agree to well under a heatmap cell, and the refinement must beat the
+    cell-centre decode."""
+
+    @staticmethod
+    def _torch_reference_decode(maps, rois):
+        """torchvision ``heatmaps_to_keypoints`` semantics, reimplemented
+        with torch.nn.functional (torchvision is not installed here):
+        bicubic resize of each [K, 56, 56] map to the RoI's ceil pixel
+        size, argmax, scale back by widths/widths_ceil."""
+        import torch
+        import torch.nn.functional as F
+
+        maps_t = torch.from_numpy(np.asarray(maps, np.float32))  # [D,K,H,H]
+        out = np.zeros((maps_t.shape[0], maps_t.shape[1], 2), np.float64)
+        for i in range(maps_t.shape[0]):
+            x1, y1, x2, y2 = [float(v) for v in rois[i]]
+            w = max(x2 - x1, 1.0)
+            h = max(y2 - y1, 1.0)
+            wc, hc = int(np.ceil(w)), int(np.ceil(h))
+            roi_map = F.interpolate(maps_t[i][:, None], size=(hc, wc),
+                                    mode="bicubic",
+                                    align_corners=False)[:, 0]
+            k, mh, mw = roi_map.shape
+            pos = roi_map.reshape(k, -1).argmax(dim=1)
+            xi = (pos % mw).to(torch.float64)
+            yi = torch.div(pos, mw, rounding_mode="floor").to(torch.float64)
+            out[i, :, 0] = x1 + ((xi + 0.5) * (w / wc)).numpy()
+            out[i, :, 1] = y1 + ((yi + 0.5) * (h / hc)).numpy()
+        return out
+
+    def _gaussian_maps(self, centres, hm=56, sigma=1.5):
+        """[D, hm, hm, K] logits with a gaussian bump at each continuous
+        centre (in cell units)."""
+        d, k, _ = centres.shape
+        yy, xx = np.mgrid[0:hm, 0:hm].astype(np.float64) + 0.5
+        maps = np.zeros((d, hm, hm, k), np.float32)
+        for i in range(d):
+            for j in range(k):
+                cx, cy = centres[i, j]
+                g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                           / (2 * sigma ** 2))
+                maps[i, :, :, j] = 8.0 * g
+        return maps
+
+    def test_matches_torch_bicubic_decode(self):
+        from podtpu.models.roi_heads import heatmaps_to_keypoints
+
+        rng = np.random.default_rng(3)
+        D, K, HM = 4, 5, 56
+        centres = rng.uniform(6, HM - 6, size=(D, K, 2))
+        maps = self._gaussian_maps(centres, hm=HM)
+        rois = np.zeros((D, 4), np.float32)
+        for i in range(D):
+            x1, y1 = rng.uniform(0, 300, 2)
+            rois[i] = [x1, y1, x1 + rng.uniform(40, 200),
+                       y1 + rng.uniform(40, 200)]
+        ours = np.asarray(heatmaps_to_keypoints(
+            jnp.asarray(maps), jnp.asarray(rois)))[:, :, :2]
+        # torch reference wants [D, K, H, H]
+        torch_maps = np.transpose(maps, (0, 3, 1, 2))
+        ref = self._torch_reference_decode(torch_maps, rois)
+        # Agreement in the torch decode's OWN quantum (one RoI pixel):
+        # torch argmaxes on the RoI's integer pixel grid, so it carries
+        # ±0.5 px quantization of its own — for RoIs under 56 px that grid
+        # is COARSER than our 56-cell parabola fit.
+        px_w = ((rois[:, 2] - rois[:, 0])
+                / np.ceil(rois[:, 2] - rois[:, 0]))[:, None]
+        px_h = ((rois[:, 3] - rois[:, 1])
+                / np.ceil(rois[:, 3] - rois[:, 1]))[:, None]
+        err_x = np.abs(ours[:, :, 0] - ref[:, :, 0]) / px_w
+        err_y = np.abs(ours[:, :, 1] - ref[:, :, 1]) / px_h
+        assert err_x.max() < 1.25, err_x.max()
+        assert err_y.max() < 1.25, err_y.max()
+
+    def test_beats_cell_centre_decode(self):
+        from podtpu.models.roi_heads import heatmaps_to_keypoints
+
+        rng = np.random.default_rng(7)
+        D, K, HM = 6, 4, 56
+        # Centres deliberately OFF cell centres (fractional offsets).
+        base = rng.integers(8, HM - 8, size=(D, K, 2)).astype(np.float64)
+        frac = rng.uniform(0.15, 0.45, size=(D, K, 2)) \
+            * rng.choice([-1, 1], size=(D, K, 2))
+        centres = base + 0.5 + frac
+        maps = self._gaussian_maps(centres, hm=HM)
+        rois = np.tile(np.array([0, 0, HM, HM], np.float32), (D, 1))
+        got = np.asarray(heatmaps_to_keypoints(
+            jnp.asarray(maps), jnp.asarray(rois)))[:, :, :2]
+        refined_err = np.abs(got - centres).mean()
+        cell_err = np.abs((base + 0.5) - centres).mean()
+        assert refined_err < 0.12, refined_err       # sub-cell recovery
+        assert refined_err < 0.5 * cell_err          # beats quantization
+
+    def test_border_argmax_keeps_cell_centre(self):
+        from podtpu.models.roi_heads import heatmaps_to_keypoints
+
+        HM = 56
+        maps = np.zeros((1, HM, HM, 1), np.float32)
+        maps[0, 0, 0, 0] = 5.0  # peak in the corner cell
+        rois = np.array([[0, 0, HM, HM]], np.float32)
+        got = np.asarray(heatmaps_to_keypoints(
+            jnp.asarray(maps), jnp.asarray(rois)))
+        assert got[0, 0, 0] == 0.5 and got[0, 0, 1] == 0.5

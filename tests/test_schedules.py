@@ -170,3 +170,89 @@ class TestEvaluateModel:
 
         with pytest.raises(ValueError, match="no annotated images"):
             evaluate_model(Project(), trained_model)
+
+
+class TestScheduleKindValidation:
+    """Resume must reject a checkpoint saved under a different
+    --lr-schedule (ADVICE r2: an ALRS state under multistep silently lost
+    its drop/buffer state; a multistep state under alrs KeyError'd)."""
+
+    def test_alrs_state_rejected_by_multistep(self):
+        from podtpu.train.alrs import AdaptiveLearningRateScheduler
+        alrs = AdaptiveLearningRateScheduler(0.005, verbose=False)
+        alrs.step(0, 1.0)
+        ms = MultiStepScheduler(0.02, epochs=26)
+        with pytest.raises(ValueError, match="alrs"):
+            ms.load_state_dict(alrs.state_dict())
+
+    def test_multistep_state_rejected_by_alrs(self):
+        from podtpu.train.alrs import AdaptiveLearningRateScheduler
+        ms = MultiStepScheduler(0.02, epochs=26)
+        alrs = AdaptiveLearningRateScheduler(0.005, verbose=False)
+        with pytest.raises(ValueError, match="multistep"):
+            alrs.load_state_dict(ms.state_dict())
+
+    def test_legacy_untagged_alrs_state_still_loads(self):
+        from podtpu.train.alrs import AdaptiveLearningRateScheduler
+        legacy = {"drop_count": 2, "buffer": [1.0, 0.9], "finished": False}
+        alrs = AdaptiveLearningRateScheduler(0.005, verbose=False)
+        alrs.load_state_dict(legacy)
+        assert alrs.drop_count == 2
+
+    def test_legacy_untagged_alrs_state_rejected_by_cosine(self):
+        legacy = {"drop_count": 2, "buffer": [1.0], "finished": False}
+        with pytest.raises(ValueError, match="alrs"):
+            CosineScheduler(0.02, epochs=26).load_state_dict(legacy)
+
+    def test_same_kind_roundtrip(self):
+        ms = MultiStepScheduler(0.02, epochs=26)
+        ms.load_state_dict(ms.state_dict())
+        cs = CosineScheduler(0.02, epochs=26)
+        cs.load_state_dict(cs.state_dict())
+
+
+class TestExhaustedBudget:
+    """A resumed run whose budget is already spent trains zero further
+    epochs (torch ``range(start_epoch, epochs)`` semantics)."""
+
+    def test_multistep_exhausted(self):
+        ms = MultiStepScheduler(0.02, epochs=3)
+        assert not ms.exhausted(2)
+        assert ms.exhausted(3)
+
+    def test_cosine_exhausted(self):
+        cs = CosineScheduler(0.02, epochs=3)
+        assert not cs.exhausted(0)
+        assert cs.exhausted(3)
+
+    def test_alrs_exhausted_after_drops(self):
+        from podtpu.train.alrs import AdaptiveLearningRateScheduler
+        alrs = AdaptiveLearningRateScheduler(0.005, nb_drops=1, nb_epochs=1,
+                                             startup_delay_factor=0,
+                                             verbose=False)
+        assert not alrs.exhausted(0)
+        alrs.drop_count = 1
+        alrs.finished = True
+        assert alrs.exhausted(5)
+
+    def test_resume_completed_run_trains_zero_epochs(self, tmp_path, capsys):
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        from tests.conftest import tiny_config
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, lr_schedule="multistep", epochs=2, lr_steps=(1,)))
+        proj = make_project(str(tmp_path / "imgs"), num_images=6, seed=0)
+        out = train(proj, output_dir=str(tmp_path / "models"), name="done",
+                    batch_size=2, max_epochs=50, config=cfg, num_workers=2)
+        capsys.readouterr()
+        # Resume the finished run: must evaluate but not train.
+        train(proj, output_dir=str(tmp_path / "models"), name="done",
+              batch_size=2, max_epochs=50, config=cfg, num_workers=2,
+              resume=True)
+        text = capsys.readouterr().out
+        assert "budget already spent" in text
+        assert "Epoch: [2]" not in text
+        assert os.path.exists(os.path.join(out, "results.txt"))
