@@ -300,6 +300,130 @@ class DeviceLoader:
             yield (idx if self.raw else self.cache.batch(idx)), bvalid
 
 
+def _stack_samples(samples) -> Dict[str, np.ndarray]:
+    """Stack a list of :class:`Sample` into the field dict the cached-gather
+    steps consume (same fields as :class:`DeviceDataCache`)."""
+    fields: Dict[str, list] = {
+        "image": [], "boxes": [], "labels": [], "valid": [],
+        "scale": [], "original_size": [], "index": [],
+    }
+    has_masks = samples and samples[0].masks is not None
+    has_kp = samples and samples[0].keypoints is not None
+    if has_masks:
+        fields["masks"] = []
+    if has_kp:
+        fields["keypoints"] = []
+    for s in samples:
+        fields["image"].append(s.image)
+        fields["boxes"].append(s.boxes)
+        fields["labels"].append(s.labels)
+        fields["valid"].append(s.valid)
+        fields["scale"].append(np.float32(s.scale))
+        fields["original_size"].append(
+            np.asarray(s.original_size, np.int32))
+        fields["index"].append(np.int32(s.index))
+        if has_masks:
+            fields["masks"].append(s.masks)
+        if has_kp:
+            fields["keypoints"].append(s.keypoints)
+    return {k: np.stack(v) for k, v in fields.items()}
+
+
+class WindowedStreamLoader:
+    """Streaming path for datasets that exceed the HBM budget: the epoch is
+    split into fixed-size WINDOWS of samples; while the train step gathers
+    batches from the resident window, a background thread decodes and
+    uploads the NEXT window (double buffering).  Each buffer takes half the
+    device budget, so per-step host->device traffic is replaced by one
+    bulk transfer per window that overlaps ``window/batch`` steps of
+    compute — the >HBM analog of :class:`DeviceDataCache` (the reference's
+    DataLoader streams every batch every step,
+    `miso/object_detection/training.py:64-83`).
+
+    Iteration yields ``(local_idx [B] into .arrays, batch_valid [B])`` and
+    updates ``self.arrays`` to the current window's device arrays before
+    the first yield of each window — consumers pass ``loader.arrays`` to
+    :func:`make_cached_train_step` each step (same shapes every window, so
+    the program compiles once).
+    """
+
+    def __init__(self, dataset, batch_size: int,
+                 indices: Optional[np.ndarray] = None, shuffle: bool = False,
+                 seed: int = 0, device=None,
+                 budget_bytes: Optional[int] = None):
+        import jax
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.device = device if device is not None else jax.devices()[0]
+        self.indices = np.asarray(
+            indices if indices is not None else np.arange(len(dataset)))
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+        budget = budget_bytes if budget_bytes is not None else \
+            int(os.environ.get("PODTPU_DEVICE_CACHE_BYTES", DEFAULT_BUDGET))
+        per = dataset_device_bytes(
+            1, dataset.image_size, dataset.max_gt,
+            dataset.with_masks, dataset.mask_stride,
+            getattr(dataset, "with_keypoints", False),
+            getattr(dataset, "num_keypoints", 17))
+        # Two live buffers: each window gets half the budget.
+        self.window = max(batch_size, (budget // 2) // max(per, 1))
+        self.arrays: Optional[Dict] = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if n == 0:
+            return 0
+        full, rem = divmod(n, self.window)
+        per_window = -(-self.window // self.batch_size)
+        return full * per_window + (-(-rem // self.batch_size) if rem else 0)
+
+    def _stage(self, chunk: np.ndarray):
+        """Decode ``chunk`` and upload it as one stacked transfer per field;
+        runs on the staging thread.  Short tail chunks are padded to the
+        fixed window size (pad slots repeat sample 0, never yielded) so the
+        consumer's program shapes never change."""
+        import jax
+
+        samples = self.dataset.load_batch([int(i) for i in chunk])
+        ok = np.array([s.ok for s in samples], bool)
+        pad = self.window - len(samples)
+        if pad:
+            samples = samples + [samples[0]] * pad
+        host = _stack_samples(samples)
+        arrays = {k: jax.device_put(v, self.device) for k, v in host.items()}
+        # Block on the staging thread so the swap is free for the consumer.
+        jax.block_until_ready(arrays)
+        return arrays, ok
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        chunks = [order[i:i + self.window]
+                  for i in range(0, len(order), self.window)]
+        if not chunks:
+            return
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._stage, chunks[0])
+            for ci, chunk in enumerate(chunks):
+                arrays, ok = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = pool.submit(self._stage, chunks[ci + 1])
+                self.arrays = arrays
+                for idx, valid in epoch_batches(
+                        np.arange(len(chunk)), self.batch_size, ok):
+                    yield idx, valid
+
+
 def epoch_batches(order: np.ndarray, batch_size: int, ok: np.ndarray):
     """Yield ``(idx [B], batch_valid [B])`` pairs covering ``order`` with
     static shapes: short tails wrap around (mask False), decode failures

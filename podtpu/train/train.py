@@ -340,7 +340,22 @@ def train(project: Project,
             cfg.model.with_mask, cfg.model.mask_gt_stride) >> 20
         per_dev = f", ~{total_mib // num_devices} MiB/device" if use_dp else ""
         print(f"Training data pinned on device ({total_mib} MiB{per_dev})")
-    else:
+    # Datasets past the HBM budget on a single device stream through the
+    # WINDOWED cache: double-buffered window uploads overlap compute, and
+    # batches are still gathered on device (the >HBM streaming fix;
+    # VERDICT r2 #5).  Multi-host / DP streaming keeps the host Loader.
+    use_window_stream = (
+        not use_device_cache
+        and cfg.data.device_data_cache is not False
+        and jax.process_count() == 1
+        and not use_dp)
+    if use_window_stream:
+        loader_train = dcache.WindowedStreamLoader(
+            dataset, global_batch, indices=train_idx, shuffle=True,
+            seed=seed, device=jax.devices()[0])
+        print(f"Streaming via windowed device cache "
+              f"({loader_train.window} samples/window, double-buffered)")
+    elif not use_device_cache:
         # With device_prefetch, train batches are placed on device (or
         # sharded over the mesh) by the loader's producer thread,
         # overlapping host->device transfer with the previous step's
@@ -427,9 +442,10 @@ def train(project: Project,
     else:
         train_step = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model)
-        if use_device_cache:
+        if use_device_cache or use_window_stream:
             # One dispatch per step: the gather from the device-resident
-            # arrays happens inside the jitted step.
+            # arrays (full cache or current stream window) happens inside
+            # the jitted step.
             train_step = dcache.make_cached_train_step(train_step)
 
     # -- epoch loop (reference training.py:120-127) --------------------------
@@ -462,11 +478,14 @@ def train(project: Project,
                 jax.profiler.start_trace(trace_dir)
                 tracing = True
             lr = sched.lr_for(epoch) * warmup_factor(cfg, epoch, it, iters)
-            if use_device_cache:
+            if use_device_cache or use_window_stream:
                 # `batch` is the raw [B] index vector; the step gathers
-                # from the device-resident arrays internally.
+                # from the device-resident arrays (the pinned dataset, or
+                # the stream's current window buffer) internally.
+                arrays = device_arrays if use_device_cache \
+                    else loader_train.arrays
                 state, metrics = train_step(
-                    state, device_arrays, batch.astype(np.int32),
+                    state, arrays, batch.astype(np.int32),
                     bvalid.astype(np.float32), step_rngs[it],
                     np.float32(lr))
             else:

@@ -282,3 +282,98 @@ class TestShardedDeviceCache:
         loader.set_epoch(1)
         e1 = [idx.copy() for idx, _ in loader]
         assert not all(np.array_equal(a, b) for a, b in zip(e0, e1))
+
+
+class TestWindowedStreamLoader:
+    """The >HBM streaming path: double-buffered window uploads feeding the
+    in-step gather (VERDICT r2 #5's streaming-throughput design)."""
+
+    def _budget_for(self, dataset, window):
+        per = dcache.dataset_device_bytes(1, dataset.image_size,
+                                          dataset.max_gt)
+        return 2 * per * window
+
+    def test_covers_every_sample_once(self, dataset):
+        wl = dcache.WindowedStreamLoader(
+            dataset, 2, shuffle=True, seed=3,
+            budget_bytes=self._budget_for(dataset, 2))
+        assert wl.window == 2
+        seen = []
+        for idx, valid in wl:
+            gathered = np.asarray(wl.arrays["index"])[idx]
+            seen.extend(int(g) for g, v in zip(gathered, valid) if v)
+        assert sorted(seen) == list(range(5))
+
+    def test_sample_content_matches_dataset(self, dataset):
+        wl = dcache.WindowedStreamLoader(
+            dataset, 2, shuffle=False,
+            budget_bytes=self._budget_for(dataset, 3))
+        for idx, valid in wl:
+            imgs = np.asarray(wl.arrays["image"])[idx]
+            gidx = np.asarray(wl.arrays["index"])[idx]
+            for img, gi, v in zip(imgs, gidx, valid):
+                if v:
+                    np.testing.assert_array_equal(
+                        img, dataset.load(int(gi)).image)
+
+    def test_window_shapes_static(self, dataset):
+        """Every window buffer has identical shapes (tail padded): the
+        cached-gather program compiles once."""
+        wl = dcache.WindowedStreamLoader(
+            dataset, 2, shuffle=False,
+            budget_bytes=self._budget_for(dataset, 3))
+        shapes = set()
+        for idx, _ in wl:
+            shapes.add(wl.arrays["image"].shape)
+            assert idx.shape == (2,)
+        # 5 samples / window 3 -> windows of [3, 2(padded to 3)].
+        assert shapes == {(3, 64, 64, 3)}
+
+    def test_len_counts_batches(self, dataset):
+        wl = dcache.WindowedStreamLoader(
+            dataset, 2, shuffle=False,
+            budget_bytes=self._budget_for(dataset, 3))
+        assert len(wl) == len(list(wl))
+
+    def test_shuffle_epochs_differ(self, dataset):
+        wl = dcache.WindowedStreamLoader(
+            dataset, 2, shuffle=True, seed=0,
+            budget_bytes=self._budget_for(dataset, 2))
+        def epoch_order(ep):
+            wl.set_epoch(ep)
+            out = []
+            for idx, valid in wl:
+                out.extend(np.asarray(wl.arrays["index"])[idx][valid])
+            return [int(i) for i in out]
+        assert epoch_order(0) != epoch_order(1)
+        assert sorted(epoch_order(0)) == sorted(epoch_order(1))
+
+    def test_train_e2e_windowed(self, tmp_path):
+        """train() takes the windowed path when the dataset exceeds the
+        budget and still produces a working model directory."""
+        import os
+        from tests.conftest import tiny_config  # noqa
+        from podtpu.train.train import train
+        from tests.synthetic import make_project
+
+        project = make_project(str(tmp_path / "imgs"), num_images=6,
+                               image_size=(64, 64), max_boxes=3)
+        old = os.environ.get("PODTPU_DEVICE_CACHE_BYTES")
+        # Budget that fits ~2 samples per window (6-sample dataset -> the
+        # full-cache gate fails, the windowed gate engages).
+        from podtpu.data import device_cache as dc
+        per = dc.dataset_device_bytes(1, (64, 64), 10)
+        os.environ["PODTPU_DEVICE_CACHE_BYTES"] = str(4 * per)
+        try:
+            cfg = tiny_config()
+            out = train(project, labels=["particle"],
+                        output_dir=str(tmp_path), name="winstream",
+                        batch_size=2, max_epochs=2, alrs_epochs=2,
+                        config=cfg, num_workers=1, seed=0, num_devices=1)
+        finally:
+            if old is None:
+                os.environ.pop("PODTPU_DEVICE_CACHE_BYTES", None)
+            else:
+                os.environ["PODTPU_DEVICE_CACHE_BYTES"] = old
+        import os.path
+        assert os.path.exists(os.path.join(out, "model.msgpack"))

@@ -27,6 +27,8 @@ from podtpu.train.train import train
 from tests.synthetic import make_project
 
 # name -> (train() kwargs, canvas for the synthetic images, max epochs)
+# A 4th tuple element, when present, is the RENDER size of the synthetic
+# images (canvas != render exercises the load-time resize).
 RUNS = {
     # SSD families carry their own canvas; images are rendered at it so
     # the fit-resize is identity.
@@ -37,15 +39,24 @@ RUNS = {
     # batch 4: the 1280-channel single-map RoI path OOMs 16G HBM at batch 8.
     "mobilenet_v2": (dict(backbone="mobilenet_v2", batch_size=4, lr=0.01),
                      512, 48),
+    # The single stride-32 map cannot localise the 24-56 px particles
+    # (<2 feature cells/object).  torchvision's snippet model would
+    # UPSCALE such inputs (GeneralizedRCNNTransform min_size=800, a
+    # 1.56x blow-up of a 512 micrograph); the fixed-canvas equivalent is
+    # rendering at 512 and training at a 1024 canvas (2x upscale ->
+    # 1.5-3.5 cells/object).  tools/probe_mobilenet_v2.py quantifies it.
+    "mobilenet_v2_up2": (dict(backbone="mobilenet_v2", batch_size=4,
+                              lr=0.01), 1024, 48, 512),
     "mobilenet_v3_fpn": (dict(backbone="mobilenet_v3_fpn", batch_size=4,
                               lr=0.01), 512, 48),
 }
 
 
-def run_one(name, kwargs, canvas, epochs):
+def run_one(name, kwargs, canvas, epochs, render=None):
     root = tempfile.mkdtemp(prefix=f"podtpu_conv_{name}_")
+    render = render or canvas
     project = make_project(root, num_images=60,
-                           image_size=(canvas, canvas), max_boxes=6, seed=7)
+                           image_size=(render, render), max_boxes=6, seed=7)
     kwargs = dict(kwargs)
     batch = kwargs.pop("batch_size", 8)
     lr = kwargs.pop("lr", 0.005)
