@@ -172,6 +172,18 @@ class ModelConfig:
     keypoint_pool_size: int = 14
     keypoint_resolution: int = 56      # pool 14 -> deconv 28 -> bilinear 56
     keypoint_head_channels: int = 512
+    # Pool/decode the keypoint heatmap over a centre-preserving EXPANSION of
+    # the RoI.  1.0 = torchvision parity (heatmap domain == box; imported
+    # COCO checkpoints must keep this).  >1.0 keeps keypoints at or near the
+    # box border INSIDE the heatmap domain even when the predicted box is a
+    # few px tight — box-regression noise otherwise clamps their argmax to
+    # the border cell and floors strict OKS regardless of heatmap quality
+    # (oracle: at 2 px box noise, OKS-mAP ceiling 0.48 at 1.0 vs 0.99 at
+    # 1.3).  Applied identically to train-target discretisation and decode,
+    # so the learned representation is consistent.  COCO joints are
+    # interior, which is why torchvision never needed this; tasks with
+    # extremal keypoints do.
+    keypoint_roi_expand: float = 1.0
     # Horizontal-flip index permutation (left/right joint swap for the COCO
     # skeleton).  Empty = identity (no swap) — correct for symmetric or
     # unordered keypoint sets.  ``train()``/``build_model`` default it to

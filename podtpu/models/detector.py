@@ -234,16 +234,20 @@ class FasterRCNN(nn.Module):
         sampled positives)."""
         cfg = self.cfg
         b, s = sampled.boxes.shape[:2]
-        pooled = rh.pool_rois_batched(box_levels, sampled.boxes, cfg,
+        kp_rois = rh.expand_rois(sampled.boxes, cfg.keypoint_roi_expand)
+        pooled = rh.pool_rois_batched(box_levels, kp_rois, cfg,
                                       pool_size=cfg.keypoint_pool_size)
         kp_logits = self.keypoint_head(
             pooled.reshape(b * s, *pooled.shape[2:]))
         kp_logits = kp_logits.reshape(b, s, *kp_logits.shape[1:])
 
-        def per_image(kl, rois, gkp):
-            return rh.keypoint_loss(kl, rois, gkp)
+        def per_image(kl, rois, samp, gkp):
+            # Targets are discretised in the SAME (expanded) frame the
+            # heatmap was pooled over.
+            return rh.keypoint_loss(kl, rois, samp, gkp)
 
-        losses = jax.vmap(per_image)(kp_logits, sampled, gt["keypoints"])
+        losses = jax.vmap(per_image)(kp_logits, kp_rois, sampled,
+                                     gt["keypoints"])
         if img_w is None:
             return losses.mean()
         return (losses * img_w).sum() / jnp.maximum(img_w.sum(), 1.0)
@@ -252,12 +256,13 @@ class FasterRCNN(nn.Module):
         """Per-detection keypoints ``[B, D, K, 3]`` (x, y, score)."""
         cfg = self.cfg
         b = det.boxes.shape[0]
-        pooled = rh.pool_rois_batched(box_levels, det.boxes, cfg,
+        kp_rois = rh.expand_rois(det.boxes, cfg.keypoint_roi_expand)
+        pooled = rh.pool_rois_batched(box_levels, kp_rois, cfg,
                                       pool_size=cfg.keypoint_pool_size)
         d = pooled.shape[1]
         kl = self.keypoint_head(pooled.reshape(b * d, *pooled.shape[2:]))
         kl = kl.reshape(b, d, *kl.shape[1:])  # [B, D, H, H, K]
-        return jax.vmap(rh.heatmaps_to_keypoints)(kl, det.boxes)
+        return jax.vmap(rh.heatmaps_to_keypoints)(kl, kp_rois)
 
     def _predict_masks(self, box_levels, det: rh.Detections):
         cfg = self.cfg

@@ -175,6 +175,8 @@ def keypoints_to_heatmap(kps: jnp.ndarray, rois: jnp.ndarray,
 
 def keypoint_loss(
     kp_logits: jnp.ndarray,    # [S, H, H, K] heatmap logits
+    kp_rois: jnp.ndarray,      # [S, 4] the boxes the heatmaps were pooled
+                               # over (expanded by keypoint_roi_expand)
     rois: SampledRois,
     gt_keypoints: jnp.ndarray,  # [G, K, 3] canvas coords + visibility
     sample_weight: jnp.ndarray = None,
@@ -184,7 +186,7 @@ def keypoint_loss(
     """
     s, h, _, k = kp_logits.shape
     kps = gt_keypoints[rois.gt_index]           # [S, K, 3]
-    target, valid = keypoints_to_heatmap(kps, rois.boxes, h)
+    target, valid = keypoints_to_heatmap(kps, kp_rois, h)
     w = valid & rois.is_pos[:, None] & rois.valid[:, None]
     w = w.astype(jnp.float32)
     if sample_weight is not None:
@@ -194,6 +196,21 @@ def keypoint_loss(
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, target.reshape(s * k, 1), axis=1)[:, 0]
     return jnp.sum(ce * w.reshape(-1)) / jnp.maximum(w.sum(), 1.0)
+
+
+def expand_rois(rois: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Centre-preserving scale of ``[*, 4]`` xyxy boxes by ``factor``.
+
+    Used by the keypoint branch (``ModelConfig.keypoint_roi_expand``) so the
+    heatmap's spatial domain extends past the box border; a no-op at 1.0.
+    """
+    if factor == 1.0:
+        return rois
+    cx = (rois[..., 0] + rois[..., 2]) * 0.5
+    cy = (rois[..., 1] + rois[..., 3]) * 0.5
+    hw = (rois[..., 2] - rois[..., 0]) * (0.5 * factor)
+    hh = (rois[..., 3] - rois[..., 1]) * (0.5 * factor)
+    return jnp.stack([cx - hw, cy - hh, cx + hw, cy + hh], axis=-1)
 
 
 def heatmaps_to_keypoints(kp_logits: jnp.ndarray,

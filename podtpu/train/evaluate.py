@@ -36,7 +36,9 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
     n_images = 0
     for batch, batch_valid in loader:
         t0 = time.time()
-        out = eval_step(params, frozen, batch["image"])
+        from podtpu.core.retry import with_transient_retry
+        out = with_transient_retry(eval_step, params, frozen,
+                                   batch["image"], label="eval step")
         det, out_masks, out_kps = split_eval_output(out)
         has_masks = out_masks is not None
         det_np = {

@@ -31,6 +31,7 @@ import numpy as np
 
 from podtpu.core.config import Config
 from podtpu.core.logging import MetricLogger, is_main_process
+from podtpu.core.retry import with_transient_retry
 from podtpu.data.dataset import DetectionDataset, train_test_split
 from podtpu.data.loader import Loader
 from podtpu.data.project import Project
@@ -484,8 +485,8 @@ def train(project: Project,
                 # the stream's current window buffer) internally.
                 arrays = device_arrays if use_device_cache \
                     else loader_train.arrays
-                state, metrics = train_step(
-                    state, arrays, batch.astype(np.int32),
+                state, metrics = with_transient_retry(
+                    train_step, state, arrays, batch.astype(np.int32),
                     bvalid.astype(np.float32), step_rngs[it],
                     np.float32(lr))
             else:
@@ -496,8 +497,8 @@ def train(project: Project,
                     # mesh (rather than trusting compiler-chosen input
                     # shardings for host numpy arrays).
                     batch = dp_shard_batch(batch)
-                state, metrics = train_step(state, batch, step_rngs[it],
-                                            np.float32(lr))
+                state, metrics = with_transient_retry(
+                    train_step, state, batch, step_rngs[it], np.float32(lr))
             # Accumulate the loss on device (tiny async adds): ALRS sees the
             # TRUE epoch mean over every step, and the epoch costs a single
             # host sync instead of one per log_every (reference averages

@@ -1,0 +1,70 @@
+"""Transient-backend retry (podtpu/core/retry.py): step dispatch survives
+the relay/compile-service failures that killed long runs (round-3 failure
+observed live: ``INTERNAL: .../remote_compile: read body: response body
+closed before all bytes were read`` at the first train-step compile)."""
+import pytest
+
+from jax.errors import JaxRuntimeError
+
+from podtpu.core.retry import is_transient, with_transient_retry
+
+
+class TestIsTransient:
+    def test_remote_compile_body_closed(self):
+        err = JaxRuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: read body: "
+            "response body closed before all bytes were read")
+        assert is_transient(err)
+
+    def test_unavailable_connection_reset(self):
+        assert is_transient(JaxRuntimeError(
+            "UNAVAILABLE: connection reset by peer"))
+
+    def test_oom_not_transient(self):
+        assert not is_transient(JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 16G"))
+
+    def test_compile_error_not_transient(self):
+        assert not is_transient(JaxRuntimeError(
+            "INTERNAL: Mosaic failed to compile TPU kernel"))
+
+
+class TestWithTransientRetry:
+    def test_retries_then_succeeds(self):
+        calls = []
+
+        def flaky(x):
+            calls.append(x)
+            if len(calls) < 3:
+                raise JaxRuntimeError(
+                    "INTERNAL: remote_compile: response body closed "
+                    "before all bytes were read")
+            return x * 2
+
+        assert with_transient_retry(flaky, 21, backoff_s=0.0) == 42
+        assert len(calls) == 3
+
+    def test_gives_up_after_retries(self):
+        def always(_):
+            raise JaxRuntimeError("UNAVAILABLE: deadline exceeded")
+
+        with pytest.raises(JaxRuntimeError):
+            with_transient_retry(always, 1, retries=2, backoff_s=0.0)
+
+    def test_non_transient_raises_immediately(self):
+        calls = []
+
+        def oom(_):
+            calls.append(1)
+            raise JaxRuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+
+        with pytest.raises(JaxRuntimeError):
+            with_transient_retry(oom, 1, backoff_s=0.0)
+        assert len(calls) == 1
+
+    def test_other_exceptions_pass_through(self):
+        def boom(_):
+            raise ValueError("not a backend error")
+
+        with pytest.raises(ValueError):
+            with_transient_retry(boom, 1, backoff_s=0.0)
