@@ -66,6 +66,22 @@ def main():
     spatial = make_spatial_eval_step(model, mesh)
     tn = timeit(lambda: spatial(params, frozen, img).scores)
 
+    # Compiler-verified work division: per-device FLOPs of the partitioned
+    # program vs the single-device program.  On the virtual CPU mesh the
+    # wall-clock comparison is meaningless (all 8 "devices" contend for the
+    # same host cores while the single-device program already multithreads
+    # across them), but XLA's cost analysis is backend-independent: a
+    # per-device ratio near 1/N certifies that on a real N-chip slice each
+    # chip runs ~1/N of the model (plus halo/replicated-head overhead).
+    def flops(jitted, *args):
+        stats = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(stats, list):
+            stats = stats[0]
+        return float(stats.get("flops", float("nan")))
+
+    f1 = flops(single, params, frozen, img)
+    fn_dev = flops(spatial, params, frozen, img)
+
     print(json.dumps({
         "probe": "spatial_eval_forward",
         "backend": jax.default_backend(),
@@ -73,7 +89,11 @@ def main():
         "devices": n,
         "single_device_s": round(t1, 3),
         "spatial_s": round(tn, 3),
-        "speedup": round(t1 / tn, 2),
+        "cpu_mesh_wallclock_meaningful": jax.default_backend() != "cpu",
+        "single_device_gflops": round(f1 / 1e9, 2),
+        "spatial_per_device_gflops": round(fn_dev / 1e9, 2),
+        "per_device_work_fraction": round(fn_dev / f1, 4),
+        "ideal_fraction": round(1.0 / n, 4),
     }))
 
 
