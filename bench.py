@@ -119,7 +119,11 @@ def bench_e2e():
 
     stream_mode = os.environ.get("BENCH_E2E_STREAM", "")
     use_device_cache = not stream_mode and dcache.fits(dataset)
-    windowed = bool(stream_mode) and stream_mode != "loader"
+    # Mirror train()'s gate: a dataset past the HBM budget defaults to the
+    # windowed streaming loader (what train() would select), with
+    # BENCH_E2E_STREAM=loader as the explicit host-Loader baseline.
+    windowed = (bool(stream_mode) and stream_mode != "loader") or (
+        not stream_mode and not use_device_cache)
     if use_device_cache:
         cache = dcache.DeviceDataCache(dataset, device=jax.devices()[0])
         loader = dcache.DeviceLoader(cache, BATCH, shuffle=True, raw=True)

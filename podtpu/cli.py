@@ -148,6 +148,15 @@ def cli():
                    "Defaults to the COCO-17 swap when --num-keypoints 17, "
                    "identity otherwise; a non-identity permutation also "
                    "disables the miso policy's vertical flip")
+@click.option("--keypoint-roi-expand", type=float, default=1.0,
+              show_default=True,
+              help="Scale factor applied to detection boxes before the "
+                   "keypoint head's RoIAlign. 1.0 = torchvision decode "
+                   "parity (right for COCO-style INTERIOR joints and for "
+                   "imported checkpoints). Use ~1.3 when keypoints sit ON "
+                   "the box border (corners, tips): at 1.0 a border "
+                   "keypoint lands in the RoI's edge cell and strict OKS "
+                   "is floored no matter how good the heatmap is")
 @click.option("--num-devices", type=int, default=None,
               help="Data-parallel device count (default: all accelerator "
                    "devices; batch-size is per device)")
@@ -188,7 +197,7 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
                           lr_schedule, epochs, lr_steps, lr_gamma,
                           norm_weight_decay, image_size, pretrained, resume,
                           with_mask, with_keypoints, num_keypoints,
-                          keypoint_hflip_inds,
+                          keypoint_hflip_inds, keypoint_roi_expand,
                           num_devices, backbone, family,
                           test_tasks, test_only, server, username, password,
                           image_root):
@@ -261,6 +270,10 @@ def train_object_detector(tasks, labels, merge_label, batch_size, wsl2, api,
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            keypoint_hflip_inds=inds))
+    if keypoint_roi_expand != 1.0:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, keypoint_roi_expand=keypoint_roi_expand))
     train(project, labels,
           output_dir=output_dir, name=model, batch_size=batch_size,
           max_epochs=max_epochs, alrs_epochs=alrs_epochs,

@@ -16,6 +16,7 @@ from typing import List, Tuple
 import numpy as np
 
 from podtpu.core.logging import is_main_process
+from podtpu.core.retry import with_transient_retry
 from podtpu.train.coco_metrics import COCOEvaluator
 from podtpu.train.step import split_eval_output
 
@@ -36,7 +37,6 @@ def evaluate(eval_step, params, frozen, loader, num_classes: int,
     n_images = 0
     for batch, batch_valid in loader:
         t0 = time.time()
-        from podtpu.core.retry import with_transient_retry
         out = with_transient_retry(eval_step, params, frozen,
                                    batch["image"], label="eval step")
         det, out_masks, out_kps = split_eval_output(out)

@@ -71,6 +71,37 @@ def trained_via_cli(cvat_env, tmp_path_factory):
     return str(out)
 
 
+def test_keypoint_roi_expand_flag_reaches_config(cvat_env, tmp_path,
+                                                 monkeypatch):
+    """--keypoint-roi-expand is product surface, not tool lore: the value
+    must land in ModelConfig.keypoint_roi_expand (used identically by the
+    keypoint head's train-target discretisation and decode,
+    models/detector.py)."""
+    import podtpu.train.train as train_mod
+
+    server, state, root = cvat_env
+    seen = {}
+
+    def fake_train(project, labels, **kwargs):
+        seen["cfg"] = kwargs["config"]
+        return str(tmp_path)
+
+    monkeypatch.setattr(train_mod, "train", fake_train)
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "train-object-detector",
+        "--tasks", "5",
+        "--server", server.url,
+        "--image-root", root,
+        "--image-size", "128",
+        "--with-keypoints", "--num-keypoints", "4",
+        "--keypoint-roi-expand", "1.3",
+        "-o", str(tmp_path), "-m", "kp_model",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert seen["cfg"].model.keypoint_roi_expand == pytest.approx(1.3)
+
+
 class TestCliTrain:
     def test_artifacts(self, trained_via_cli):
         model_dir = os.path.join(trained_via_cli, "cli_model")

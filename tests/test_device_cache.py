@@ -377,3 +377,151 @@ class TestWindowedStreamLoader:
                 os.environ["PODTPU_DEVICE_CACHE_BYTES"] = old
         import os.path
         assert os.path.exists(os.path.join(out, "model.msgpack"))
+
+
+class TestShardedWindowedStreamLoader:
+    """>HBM streaming under DP (VERDICT r3 #3): windows sample-sharded over
+    the mesh, global-index gather per step — trajectory parity with the
+    host-loader DP step on the same data."""
+
+    @pytest.fixture(scope="class")
+    def big_dataset(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("shwin_imgs")
+        project = make_project(str(root), num_images=20)
+        return DetectionDataset(project, image_size=(64, 64), max_gt=4)
+
+    def _loader(self, dataset, n_dev=4, batch=8, block=2, **kw):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.parallel.dp import make_mesh
+
+        mesh = make_mesh(jax.devices()[:n_dev])
+        per = dcache.dataset_device_bytes(1, dataset.image_size,
+                                          dataset.max_gt)
+        wl = dcache.ShardedWindowedStreamLoader(
+            dataset, batch, num_shards=n_dev,
+            sharding=NamedSharding(mesh, P("data")),
+            budget_bytes=2 * per * block, **kw)
+        return wl, mesh
+
+    def test_window_scales_with_mesh(self, big_dataset):
+        wl, _ = self._loader(big_dataset, n_dev=4, block=2)
+        assert wl.block == 2 and wl.window == 8
+
+    def test_covers_every_sample_once(self, big_dataset):
+        wl, _ = self._loader(big_dataset, n_dev=4, block=2, shuffle=True,
+                             seed=3)
+        seen = []
+        for idx, valid in wl:
+            gathered = np.asarray(wl.arrays["index"])[idx]
+            seen.extend(int(g) for g, v in zip(gathered, valid) if v)
+        assert sorted(seen) == list(range(20))
+        assert wl.arrays is None  # released after the epoch
+
+    def test_slices_homed_on_device_blocks(self, big_dataset):
+        wl, _ = self._loader(big_dataset, n_dev=4, batch=8, block=2)
+        b = wl.per_device
+        for idx, _ in wl:
+            for d in range(4):
+                sl = idx[d * b:(d + 1) * b]
+                assert np.all(sl // wl.block == d), (d, sl)
+
+    def test_window_shapes_static_and_sharded(self, big_dataset):
+        wl, _ = self._loader(big_dataset, n_dev=4, block=3)  # window 12
+        shapes = set()
+        for idx, _ in wl:
+            img = wl.arrays["image"]
+            shapes.add(img.shape)
+            for shard in img.addressable_shards:
+                assert shard.data.shape[0] == wl.block
+        # 20 samples / window 12 -> [12, 8(padded to 12)].
+        assert shapes == {(12, 64, 64, 3)}
+
+    def test_len_counts_batches(self, big_dataset):
+        wl, _ = self._loader(big_dataset, n_dev=4, block=3)
+        assert len(wl) == len(list(wl))
+
+    def test_trajectory_parity_with_host_loader_dp_step(self, big_dataset):
+        """Running the sharded windowed stream through the cached DP step
+        gives the same loss trajectory as feeding the identical per-step
+        batches through the host-loader DP step (make_dp_train_step)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.parallel.dp import (make_dp_per_shard,
+                                        make_dp_train_step)
+        from podtpu.train.optim import make_optimizer
+        from podtpu.train.step import create_train_state
+        from tests.test_parallel import micro_cfg
+
+        cfg = micro_cfg()
+        model = FasterRCNN(cfg=cfg.model)
+        init_vars = model.init(jax.random.key(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = make_optimizer(cfg.train, cfg.model)
+        wl, mesh = self._loader(big_dataset, n_dev=4, batch=8, block=3,
+                                shuffle=True, seed=1)
+
+        def fresh_state():
+            variables = jax.tree.map(jnp.array, init_vars)
+            st = create_train_state(variables, tx)
+            return jax.device_put(st, NamedSharding(mesh, P()))
+
+        sharded = dcache.make_sharded_cached_dp_train_step(
+            make_dp_per_shard(model, tx, cfg), mesh)
+        dp_step, shard_batch = make_dp_train_step(model, tx, cfg, mesh)
+        rng = jax.random.key(7)
+        lr = np.float32(0.01)
+
+        s1, s2 = fresh_state(), fresh_state()
+        losses1, losses2 = [], []
+        for t, (idx, valid) in enumerate(wl):
+            host = {k: np.asarray(v)[idx] for k, v in wl.arrays.items()}
+            step_rng = jax.random.fold_in(rng, t)
+            s1, m1 = sharded(s1, wl.arrays, idx,
+                             valid.astype(np.float32), step_rng, lr)
+            host["image_weight"] = valid.astype(np.float32)
+            s2, m2 = dp_step(s2, shard_batch(host), step_rng, lr)
+            losses1.append(float(m1["loss"]))
+            losses2.append(float(m2["loss"]))
+        assert len(losses1) >= 3
+        np.testing.assert_allclose(losses1, losses2, rtol=1e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            s1.params, s2.params)
+
+    def test_train_e2e_dp_windowed(self, tmp_path):
+        """train() under DP past the HBM budget takes the sharded windowed
+        path (not the host-loader fallback) and produces a model."""
+        import io
+        import os
+        from contextlib import redirect_stdout
+
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project as mk
+
+        project = mk(str(tmp_path / "imgs"), num_images=8,
+                     image_size=(64, 64), max_boxes=3)
+        old = os.environ.get("PODTPU_DEVICE_CACHE_BYTES")
+        per = dcache.dataset_device_bytes(1, (64, 64), 10)
+        os.environ["PODTPU_DEVICE_CACHE_BYTES"] = str(4 * per)
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                out = train(project, labels=["particle"],
+                            output_dir=str(tmp_path), name="dpwin",
+                            batch_size=2, max_epochs=2, alrs_epochs=2,
+                            config=tiny_config(), num_workers=1, seed=0,
+                            num_devices=2)
+        finally:
+            if old is None:
+                os.environ.pop("PODTPU_DEVICE_CACHE_BYTES", None)
+            else:
+                os.environ["PODTPU_DEVICE_CACHE_BYTES"] = old
+        assert "sharded windowed device cache" in buf.getvalue()
+        assert os.path.exists(os.path.join(out, "model.msgpack"))

@@ -92,10 +92,11 @@ def main():
     print("devices:", jax.devices(), flush=True)
     names = sys.argv[1:] or list(RUNS)
     for name in names:
-        kwargs, canvas, epochs = RUNS[name]
+        kwargs, canvas, epochs, *render = RUNS[name]
         print(f"===== {name} =====", flush=True)
         try:
-            run_one(name, kwargs, canvas, epochs)
+            run_one(name, kwargs, canvas, epochs,
+                    render=render[0] if render else None)
         except SystemExit as e:  # NaN guard exits; keep the other runs
             print(f"{name}: training exited ({e})", flush=True)
 
