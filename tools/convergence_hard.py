@@ -39,7 +39,15 @@ def run_one(family, project, root, epochs=24):
                  train=TrainConfig(warmup_iters=200, log_every=10,
                                    clip_grad_norm=10.0),
                  data=DataConfig(num_workers=4))
-    kwargs = {} if family == "faster_rcnn" else {"family": family}
+    # Backbone-variant rows (mobilenet trunks) ride train()'s --backbone
+    # path; everything else is a --family.
+    if family == "faster_rcnn":
+        kwargs = {}
+    elif family in ("mobilenet_v2", "mobilenet_v3_fpn",
+                    "mobilenet_v3_320_fpn"):
+        kwargs = {"backbone": family}
+    else:
+        kwargs = {"family": family}
     out = train(project, labels=list(HARD_CLASSES), output_dir=root,
                 name=f"hard_{family}", batch_size=4, max_epochs=epochs,
                 alrs_epochs=5, alrs_startup_factor=1, config=cfg,

@@ -1,0 +1,136 @@
+"""Randomized cross-validation of podtpu's from-scratch COCOEvaluator
+against pycocotools' COCOeval (VERDICT r3 weak #7).
+
+The reference's acceptance artifact is pycocotools output
+(`miso/object_detection/engine/coco_eval.py:13-60`, maxDets [10,30,300]
+at :24).  podtpu reimplements COCOeval from scratch
+(`podtpu/train/coco_metrics.py`) and unit-tests it against hand-computed
+cases; this tool closes the remaining fidelity question with a
+systematic fuzz: N random (gt, detection) sets through BOTH evaluators,
+asserting the 12 summary stats match.
+
+ENVIRONMENT NOTE: this build environment does not ship pycocotools and
+installing packages is not permitted (same class of limitation as the
+live-CVAT round trip, README.md).  The tool therefore SKIPS with a clear
+message when pycocotools is absent and runs the full fuzz when present —
+run it once in any environment with pycocotools to record the parity
+artifact (expected output: ``all N trials matched within 1e-6``).
+
+Run:  python tools/crosscheck_pycocotools.py [trials] [seed]
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from podtpu.train.coco_metrics import COCOEvaluator  # noqa: E402
+
+MAX_DETS = (10, 30, 300)
+
+
+def random_scene(rng, num_classes, img_w=640, img_h=480):
+    """One image's random gt + detections (xyxy, 1-based labels)."""
+    g = int(rng.integers(0, 8))
+    d = int(rng.integers(0, 14))
+
+    def boxes(n):
+        xy = rng.uniform(0, [img_w * 0.8, img_h * 0.8], (n, 2))
+        wh = rng.uniform(4, [img_w * 0.4, img_h * 0.4], (n, 2))
+        return np.concatenate([xy, xy + wh], axis=1)
+
+    gt_b = boxes(g)
+    # Half the detections perturb a gt box (realistic matches), half are
+    # background noise.
+    dt_b = boxes(d)
+    for i in range(min(d, g)):
+        if rng.uniform() < 0.5:
+            dt_b[i] = gt_b[i] + rng.normal(0, 6, 4)
+    return (gt_b, rng.integers(1, num_classes + 1, g),
+            dt_b, rng.uniform(0.05, 1.0, d),
+            rng.integers(1, num_classes + 1, d))
+
+
+def run_podtpu(scenes, num_classes):
+    ev = COCOEvaluator(num_classes=num_classes, max_dets=MAX_DETS)
+    for gt_b, gt_l, dt_b, dt_s, dt_l in scenes:
+        ev.update(gt_b, gt_l, dt_b, dt_s, dt_l)
+    return np.asarray(ev.summarize(), np.float64)
+
+
+def run_pycocotools(scenes, num_classes, img_w=640, img_h=480):
+    import contextlib
+    import io
+
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+
+    images, anns, dets = [], [], []
+    ann_id = 1
+    for img_id, (gt_b, gt_l, dt_b, dt_s, dt_l) in enumerate(scenes, 1):
+        images.append({"id": img_id, "width": img_w, "height": img_h})
+        for b, l in zip(gt_b, gt_l):
+            w, h = b[2] - b[0], b[3] - b[1]
+            anns.append({"id": ann_id, "image_id": img_id,
+                         "category_id": int(l), "iscrowd": 0,
+                         "area": float(w * h),
+                         "bbox": [float(b[0]), float(b[1]),
+                                  float(w), float(h)]})
+            ann_id += 1
+        for b, s, l in zip(dt_b, dt_s, dt_l):
+            dets.append({"image_id": img_id, "category_id": int(l),
+                         "score": float(s),
+                         "bbox": [float(b[0]), float(b[1]),
+                                  float(b[2] - b[0]), float(b[3] - b[1])]})
+    gt = COCO()
+    gt.dataset = {
+        "images": images, "annotations": anns,
+        "categories": [{"id": c} for c in range(1, num_classes + 1)],
+    }
+    with contextlib.redirect_stdout(io.StringIO()):
+        gt.createIndex()
+        dt = gt.loadRes(dets) if dets else COCO()
+        if not dets:
+            dt.dataset = {"images": images, "annotations": [],
+                          "categories": gt.dataset["categories"]}
+            dt.createIndex()
+        e = COCOeval(gt, dt, iouType="bbox")
+        e.params.maxDets = list(MAX_DETS)
+        e.evaluate()
+        e.accumulate()
+        e.summarize()
+    return np.asarray(e.stats, np.float64)
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    try:
+        import pycocotools  # noqa: F401
+    except ImportError:
+        print("SKIP: pycocotools is not installed in this environment "
+              "(and installing packages is not permitted here). Run this "
+              "tool where pycocotools is available to record the parity "
+              "artifact; podtpu's evaluator is meanwhile covered by the "
+              "hand-computed oracle tests in tests/test_coco_metrics.py.")
+        return 0
+    rng = np.random.default_rng(seed)
+    worst = 0.0
+    for t in range(trials):
+        num_classes = int(rng.integers(1, 6))
+        n_images = int(rng.integers(1, 12))
+        scenes = [random_scene(rng, num_classes) for _ in range(n_images)]
+        ours = run_podtpu(scenes, num_classes)
+        ref = run_pycocotools(scenes, num_classes)
+        diff = np.abs(ours - ref).max()
+        worst = max(worst, diff)
+        if diff > 1e-6:
+            print(f"MISMATCH trial {t}: ours={ours}\n ref={ref}")
+            return 1
+    print(f"all {trials} trials matched within 1e-6 "
+          f"(worst abs diff {worst:.2e})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
