@@ -72,6 +72,11 @@ class ModelConfig:
     # statistics and run frozen (the framework's fine-tuning stance; the
     # reference never trains BN statistics either).
     rpn_conv_depth: int = 1
+    # Run the RPN head's convs over the coarse FPN levels as ONE packed
+    # canvas (1-row zero gaps make the math exact — models/rpn.py
+    # _packed_apply) instead of 4 separate small convs that tile the MXU
+    # poorly.  Weights/checkpoints are identical either way.
+    rpn_pack_levels: bool = False
     box_head_type: str = "mlp"  # 'mlp' (TwoMLPHead) | 'convfc' (v2)
     fpn_norm: bool = False
     mask_head_norm: bool = False

@@ -74,7 +74,8 @@ class FasterRCNN(nn.Module):
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
         self.rpn_head = rpn_lib.RPNHead(
             num_anchors=cfg.anchors_per_location, channels=rpn_channels,
-            conv_depth=cfg.rpn_conv_depth, dtype=dtype, name="rpn_head")
+            conv_depth=cfg.rpn_conv_depth, dtype=dtype,
+            pack_levels=cfg.rpn_pack_levels, name="rpn_head")
         if cfg.box_head_type == "convfc":
             # v2 recipe (FastRCNNConvFCHead; fasterrcnn_v2_config).
             self.box_head = rh.ConvFCBoxHead(num_classes=cfg.num_classes,

@@ -39,6 +39,9 @@ class RPNHead(nn.Module):
     channels: int = 256
     conv_depth: int = 1
     dtype: Any = jnp.bfloat16
+    # Pack the coarse levels into ONE canvas before the convs (exact math;
+    # see _packed_apply).  The finest level always runs alone.
+    pack_levels: bool = False
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
@@ -52,6 +55,61 @@ class RPNHead(nn.Module):
                                   **kw)
         self.deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas", **kw)
 
+    def _head(self, h):
+        for c in self.convs:
+            h = nn.relu(c(h))
+        return self.objectness(h), self.deltas(h)
+
+    def _packed_apply(self, features):
+        """Apply the head to several levels as ONE conv over a packed
+        canvas (exact math, not an approximation).
+
+        Levels are stacked along height, left-aligned, with a 1-row zero
+        gap between them: a 3x3 SAME conv then reads, at every level-edge
+        output, exactly the zeros its own padding would have supplied —
+        so slicing the level regions back out reproduces the per-level
+        convs bit-for-bit (up to dtype rounding order).  Small FPN grids
+        (16², 8²...) tile the MXU poorly on their own; one tall canvas
+        amortises the conv.  For conv_depth > 1 the gap/garbage regions
+        are re-zeroed between convs so the second conv also reads zeros.
+        """
+        b, _, _, c = features[0].shape
+        heights = [f.shape[1] for f in features]
+        widths = [f.shape[2] for f in features]
+        wmax = max(widths)
+        total_h = sum(heights) + len(features) - 1
+        offsets = []
+        o = 0
+        for h in heights:
+            offsets.append(o)
+            o += h + 1
+        canvas = jnp.zeros((b, total_h, wmax, c), features[0].dtype)
+        for f, off, w in zip(features, offsets, widths):
+            canvas = jax.lax.dynamic_update_slice(canvas, f, (0, off, 0, 0))
+        if self.conv_depth > 1:
+            import numpy as np
+            mask = np.zeros((total_h, wmax, 1), np.float32)
+            for off, h, w in zip(offsets, heights, widths):
+                mask[off:off + h, :w] = 1.0
+            mask = jnp.asarray(mask, features[0].dtype)
+            h = canvas
+            for ci, cv in enumerate(self.convs):
+                h = nn.relu(cv(h))
+                if ci + 1 < self.conv_depth:
+                    h = h * mask
+            obj, dlt = self.objectness(h), self.deltas(h)
+        else:
+            obj, dlt = self._head(canvas)
+        outs = []
+        for off, hh, w in zip(offsets, heights, widths):
+            outs.append((
+                jax.lax.dynamic_slice(
+                    obj, (0, off, 0, 0), (b, hh, w, obj.shape[-1])),
+                jax.lax.dynamic_slice(
+                    dlt, (0, off, 0, 0), (b, hh, w, dlt.shape[-1])),
+            ))
+        return outs
+
     def __call__(self, features: Sequence[jnp.ndarray]):
         """Returns per-level flattened (logits [B, Hl*Wl*A], deltas
         [B, Hl*Wl*A, 4]) in anchor-grid order (y, x, A).
@@ -60,14 +118,14 @@ class RPNHead(nn.Module):
         grids to f32 here cost ~2 ms/step in layout copies; consumers cast
         the few thousand gathered entries instead.
         """
+        if self.pack_levels and len(features) >= 3:
+            level_outs = [self._head(features[0])]
+            level_outs += self._packed_apply(list(features[1:]))
+        else:
+            level_outs = [self._head(f) for f in features]
         logits, deltas = [], []
-        for f in features:
-            h = f
-            for c in self.convs:
-                h = nn.relu(c(h))
-            b = h.shape[0]
-            obj = self.objectness(h)
-            dlt = self.deltas(h)
+        for obj, dlt in level_outs:
+            b = obj.shape[0]
             logits.append(obj.reshape(b, -1))
             deltas.append(dlt.reshape(b, -1, 4))
         return logits, deltas
