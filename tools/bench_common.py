@@ -48,6 +48,13 @@ def train_setup(batch=BATCH, canvas=CANVAS, data_kw=None, **model_kw):
     base = dict(num_classes=3, image_size=(canvas, canvas),
                 compute_dtype="bfloat16")
     base.update(model_kw)
+    # A/B harness hook: PODTPU_BENCH_MODEL_KW='{"rpn_pack_levels": true}'
+    # overrides ModelConfig fields without editing every tools/ script.
+    import json as _json
+    import os as _os
+    env_kw = _os.environ.get("PODTPU_BENCH_MODEL_KW")
+    if env_kw:
+        base.update(_json.loads(env_kw))
     model_cfg = ModelConfig(**base)
     cfg = Config(model=model_cfg, train=TrainConfig(batch_size=batch),
                  data=DataConfig(**(data_kw or {})))
