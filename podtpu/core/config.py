@@ -475,6 +475,10 @@ class TrainConfig:
     optimiser: str = "sgd"  # 'sgd' | 'adam' | 'adamw'
     lr: float = 0.005
     momentum: float = 0.9
+    # Momentum-buffer dtype: "float32" (torch parity) or "bfloat16" —
+    # halves the optimizer's HBM traffic on the 41M-param flagship; the
+    # update itself still computes in f32 (optax casts per step).
+    momentum_dtype: str = "float32"
     weight_decay: float = 0.0005
     adam_lr: float = 0.001
     # Separate weight decay for normalisation parameters (GroupNorm

@@ -86,13 +86,18 @@ def make_optimizer(train_cfg: TrainConfig, model_cfg: ModelConfig):
             if train_cfg.clip_grad_norm else optax.identity())
 
     if train_cfg.optimiser == "sgd":
+        import jax.numpy as jnp
+        acc_dtype = (jnp.bfloat16
+                     if train_cfg.momentum_dtype == "bfloat16" else None)
+
         @optax.inject_hyperparams
         def make(learning_rate):
             return optax.masked(
                 optax.chain(
                     clip,
                     _weight_decay(train_cfg),
-                    optax.trace(decay=train_cfg.momentum),
+                    optax.trace(decay=train_cfg.momentum,
+                                accumulator_dtype=acc_dtype),
                     optax.scale_by_learning_rate(learning_rate),  # -lr
                 ), mask)
         return make(learning_rate=train_cfg.lr)

@@ -55,8 +55,12 @@ def train_setup(batch=BATCH, canvas=CANVAS, data_kw=None, **model_kw):
     env_kw = _os.environ.get("PODTPU_BENCH_MODEL_KW")
     if env_kw:
         base.update(_json.loads(env_kw))
+    train_kw = dict(batch_size=batch)
+    env_tkw = _os.environ.get("PODTPU_BENCH_TRAIN_KW")
+    if env_tkw:
+        train_kw.update(_json.loads(env_tkw))
     model_cfg = ModelConfig(**base)
-    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=batch),
+    cfg = Config(model=model_cfg, train=TrainConfig(**train_kw),
                  data=DataConfig(**(data_kw or {})))
     model = FasterRCNN(cfg=model_cfg)
     variables = init_variables(model, jax.random.key(0))

@@ -13,6 +13,8 @@ except ImportError:  # run as `python tools/remeasure_step.py`
 def main():
     import jax
 
+    from podtpu.core.setup import enable_compilation_cache
+    enable_compilation_cache()
     print("devices:", jax.devices(), flush=True)
     model, cfg, state, step, batch = train_setup()
 
