@@ -68,3 +68,48 @@ class TestWithTransientRetry:
 
         with pytest.raises(ValueError):
             with_transient_retry(boom, 1, backoff_s=0.0)
+
+
+class TestAdviceR3Fixes:
+    def test_bare_unavailable_not_transient(self):
+        """A persistent UNAVAILABLE (wrong endpoint, auth failure) must
+        propagate immediately — only concrete transport symptoms retry."""
+        assert not is_transient(JaxRuntimeError(
+            "UNAVAILABLE: no such host example.invalid:8093"))
+
+    def test_consumed_donated_input_not_retried(self):
+        """If a transient error surfaces AFTER a donated input was
+        consumed, the retry must NOT re-issue with deleted buffers — the
+        original error propagates."""
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((4,))
+        consume = jax.jit(lambda a: a + 1, donate_argnums=(0,))
+        _ = consume(x)  # x's buffer is now donated/deleted
+        assert x.is_deleted()
+
+        calls = []
+
+        def fn(arr):
+            calls.append(1)
+            raise JaxRuntimeError("UNAVAILABLE: connection reset by peer")
+
+        with pytest.raises(JaxRuntimeError, match="connection reset"):
+            with_transient_retry(fn, x, retries=3, backoff_s=0.0)
+        assert len(calls) == 1  # no retry attempts
+
+    def test_alive_inputs_still_retry(self):
+        import jax.numpy as jnp
+
+        x = jnp.ones((4,))
+        calls = []
+
+        def fn(arr):
+            calls.append(1)
+            if len(calls) < 2:
+                raise JaxRuntimeError("UNAVAILABLE: connection reset by peer")
+            return arr
+
+        out = with_transient_retry(fn, x, retries=3, backoff_s=0.0)
+        assert len(calls) == 2 and out is x
