@@ -420,8 +420,9 @@ class WindowedStreamLoader:
 
             self._uploader = make_uploader(SingleDeviceSharding(self.device))
         arrays = self._uploader(host)
-        # Block on the staging thread so the swap is free for the consumer.
-        jax.block_until_ready(arrays)
+        # No block here: the runtime orders consumers after the transfer,
+        # and block_until_ready over tunneled links is a slow poll that
+        # stalls the staging thread (measured — see docs/performance.md).
         return arrays, ok
 
     def __iter__(self):
@@ -565,7 +566,7 @@ class ShardedWindowedStreamLoader:
         if self._uploader is None:
             self._uploader = make_uploader(self.sharding)
         arrays = self._uploader(host)
-        jax.block_until_ready(arrays)
+        # No block — see WindowedStreamLoader._stage.
         return arrays, ok
 
     def __iter__(self):
