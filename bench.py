@@ -294,7 +294,11 @@ if __name__ == "__main__":
     enable_compilation_cache()
     if os.environ.get("BENCH_METRIC") == "tiles":
         bench_tiles()
-    elif os.environ.get("BENCH_METRIC") == "e2e":
+    elif os.environ.get("BENCH_METRIC") == "e2e" \
+            or os.environ.get("BENCH_E2E_STREAM"):
+        # BENCH_E2E_STREAM implies the e2e metric: the flag only selects a
+        # loader for bench_e2e, so requiring BENCH_METRIC=e2e alongside it
+        # silently measured the synthetic step instead (observed footgun).
         bench_e2e()
     else:
         main()
