@@ -525,3 +525,32 @@ class TestShardedWindowedStreamLoader:
                 os.environ["PODTPU_DEVICE_CACHE_BYTES"] = old
         assert "sharded windowed device cache" in buf.getvalue()
         assert os.path.exists(os.path.join(out, "model.msgpack"))
+
+
+class TestWindowedEdgeCases:
+    def test_empty_indices_yield_nothing(self, dataset):
+        wl = dcache.WindowedStreamLoader(
+            dataset, 2, indices=np.array([], np.int64))
+        assert len(wl) == 0 and list(wl) == []
+
+    def test_window_larger_than_dataset(self, dataset):
+        """Default budget -> one padded window covering the whole (5-image)
+        dataset; every sample seen exactly once, buffers released after."""
+        wl = dcache.WindowedStreamLoader(dataset, 2)
+        assert wl.window >= len(dataset)
+        total = sum(int(v.sum()) for _, v in wl)
+        assert total == len(dataset)
+        assert wl.arrays is None
+
+    def test_sharded_empty_indices(self, dataset):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from podtpu.parallel.dp import make_mesh
+
+        mesh = make_mesh(jax.devices()[:4])
+        wl = dcache.ShardedWindowedStreamLoader(
+            dataset, 8, num_shards=4,
+            sharding=NamedSharding(mesh, P("data")),
+            indices=np.array([], np.int64))
+        assert len(wl) == 0 and list(wl) == []
