@@ -12,10 +12,8 @@ propagates immediately.
 """
 import time
 
-# A bare "unavailable" is deliberately NOT a marker: UNAVAILABLE also
-# covers persistent misconfiguration (wrong endpoint, auth failure) which
-# must propagate immediately; only the concrete transport symptoms below
-# mark an error as worth retrying.
+# Concrete transport symptoms that mark an error as confidently
+# transient (full retry budget).
 _TRANSIENT_MARKERS = (
     "remote_compile",
     "response body closed",
@@ -25,13 +23,42 @@ _TRANSIENT_MARKERS = (
     "broken pipe",
 )
 
+# UNAVAILABLE symptoms that are known-PERSISTENT (misconfiguration —
+# auth, name resolution): never retried.  UNAVAILABLE errors matching
+# NEITHER list (e.g. "failed to connect to all addresses" during a brief
+# backend blip or preemption window) get a single cautious retry — a
+# genuinely-dead endpoint still fails fast, but a multi-hour run isn't
+# aborted by one unclassified blip (advisor r4).
+_PERSISTENT_MARKERS = (
+    "auth",
+    "unauthenticated",
+    "permission",
+    "name resolution",
+    "dns",
+    "no such host",
+    "not found",
+    "unimplemented",
+)
+
+
+def transient_class(err: Exception) -> str:
+    """Classify a backend error: "fast" (known-transient transport
+    symptom, full retry budget), "cautious" (bare UNAVAILABLE with no
+    known-persistent symptom, single retry), or "" (not retryable)."""
+    msg = str(err).lower()
+    internal = msg.startswith("internal:") or "internal:" in msg
+    unavailable = msg.startswith("unavailable:") or "unavailable:" in msg
+    if not internal and not unavailable:
+        return ""
+    if any(m in msg for m in _TRANSIENT_MARKERS):
+        return "fast"
+    if unavailable and not any(m in msg for m in _PERSISTENT_MARKERS):
+        return "cautious"
+    return ""
+
 
 def is_transient(err: Exception) -> bool:
-    msg = str(err).lower()
-    if not msg.startswith(("internal:", "unavailable:")) \
-            and "internal:" not in msg and "unavailable:" not in msg:
-        return False
-    return any(m in msg for m in _TRANSIENT_MARKERS)
+    return transient_class(err) == "fast"
 
 
 def _donated_args_alive(args, kwargs) -> bool:
@@ -65,11 +92,14 @@ def with_transient_retry(fn, *args, retries: int = 3, backoff_s: float = 5.0,
         try:
             return fn(*args, **kwargs)
         except JaxRuntimeError as err:  # noqa: PERF203 — rare path
-            if attempt >= retries or not is_transient(err) \
+            klass = transient_class(err)
+            # Unclassified UNAVAILABLE: one cautious retry only.
+            cap = retries if klass == "fast" else min(retries, 1)
+            if attempt >= cap or not klass \
                     or not _donated_args_alive(args, kwargs):
                 raise
             attempt += 1
-            print(f"[retry] transient backend error during {label} "
-                  f"(attempt {attempt}/{retries}): "
+            print(f"[retry] {klass}-transient backend error during {label} "
+                  f"(attempt {attempt}/{cap}): "
                   f"{str(err).splitlines()[0][:200]}")
             time.sleep(backoff_s * attempt)

@@ -478,10 +478,13 @@ class ShardedWindowedStreamLoader:
     `miso/object_detection/training.py:64-83`).
 
     Multi-host: every process computes the same window plan (same seed),
-    but DECODES ONLY the rows homed on its addressable devices
-    (per-host windows); non-local rows are left zeroed — ``device_put``
-    with a global sharding transfers each shard from the process that
-    owns it, so only locally-decoded rows ever reach a device.
+    but DECODES ONLY the rows homed on its addressable devices and
+    materialises ONLY those row blocks on the host (O(window/num_hosts)
+    host RAM per process, not O(window) — advisor r4 finding); the
+    global window array is assembled with
+    ``jax.make_array_from_process_local_data``, whose documented
+    contract is exactly this: each process contributes its addressable
+    shards.
     """
 
     def __init__(self, dataset, batch_size: int, num_shards: int,
@@ -552,32 +555,53 @@ class ShardedWindowedStreamLoader:
         ok[len(chunk):] = False  # pad rows (short tail window)
         padded = np.concatenate(
             [chunk, np.repeat(chunk[:1], self.window - len(chunk))])
-        host: Dict[str, np.ndarray] = {}
-        for rows in self._local_rows:
+        blocks = []
+        for rows in self._local_rows:  # sorted by row start
             samples = self.dataset.load_batch(
                 [int(i) for i in padded[rows]])
             for s, pos in zip(samples, range(rows.start, rows.stop)):
                 ok[pos] = ok[pos] and s.ok
-            block = _stack_samples(samples)
-            for k, v in block.items():
-                if k not in host:
-                    host[k] = np.zeros((self.window,) + v.shape[1:], v.dtype)
-                host[k][rows] = v
-        if self._uploader is None:
-            self._uploader = make_uploader(self.sharding)
-        arrays = self._uploader(host)
+            blocks.append(_stack_samples(samples))
+        if jax.process_count() == 1:
+            # All rows are local: the stacked window IS the global array;
+            # ship it as jit arguments (the measured-fast path on
+            # tunneled links — see make_uploader).
+            if self._uploader is None:
+                self._uploader = make_uploader(self.sharding)
+            arrays = self._uploader(blocks[0])
+        else:
+            # Multi-host: only this process's row blocks exist on the
+            # host (per-process RAM stays O(window / num_hosts) however
+            # large the mesh); each process contributes exactly its
+            # addressable shards.  `ok` for non-local rows stays True on
+            # this process, which is harmless: a device's (idx, valid)
+            # slice is transferred from the process that OWNS that
+            # device, where ok was computed from the real decode.
+            local = {k: np.concatenate([b[k] for b in blocks])
+                     for k in blocks[0]}
+            arrays = {
+                k: jax.make_array_from_process_local_data(
+                    self.sharding, v, (self.window,) + v.shape[1:])
+                for k, v in local.items()}
         # No block — see WindowedStreamLoader._stage.
         return arrays, ok
+
+    def window_chunks(self, epoch: Optional[int] = None):
+        """The epoch's window plan (list of index chunks) — deterministic
+        in (indices, seed, epoch), so every process computes the same one;
+        exposed for the multi-process placement test."""
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.default_rng(
+                self.seed + (self._epoch if epoch is None else epoch))
+            rng.shuffle(order)
+        return [order[i:i + self.window]
+                for i in range(0, len(order), self.window)]
 
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        order = self.indices.copy()
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(order)
-        chunks = [order[i:i + self.window]
-                  for i in range(0, len(order), self.window)]
+        chunks = self.window_chunks()
         if not chunks:
             return
         with ThreadPoolExecutor(max_workers=1) as pool:

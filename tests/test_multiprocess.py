@@ -57,6 +57,52 @@ def _run_workers(nprocs: int, local_devices: int, port: int, steps: int = 3,
     return results
 
 
+def _run_stream_workers(nprocs: int, local_devices: int, port: int,
+                        timeout: int = 600):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{local_devices}")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests.mp_stream_worker", str(i),
+             str(nprocs), str(port)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+            assert p.returncode == 0, out[-3000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith('{"proc"')][-1]
+        rec = json.loads(line)
+        results[rec["proc"]] = rec
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_sharded_windowed_stream():
+    """The >HBM DP streaming tier on a mesh spanning two OS processes:
+    per-host decode + make_array_from_process_local_data assembly place
+    exactly the planned samples on each device (advisor r4: the
+    multi-host upload path previously had no multi-process test)."""
+    res = _run_stream_workers(nprocs=2, local_devices=4, port=_free_port())
+    assert set(res) == {0, 1}
+    assert res[0]["windows"] == res[1]["windows"] >= 2
+    # The jitted cross-process reduction agreed on every window (also
+    # asserted inside each worker via allgather).
+    assert np.allclose(res[0]["sums"], res[1]["sums"])
+
+
 @pytest.mark.slow
 def test_two_process_dp_matches_single_process():
     two = _run_workers(nprocs=2, local_devices=4, port=_free_port())

@@ -6,7 +6,8 @@ import pytest
 
 from jax.errors import JaxRuntimeError
 
-from podtpu.core.retry import is_transient, with_transient_retry
+from podtpu.core.retry import (is_transient, transient_class,
+                               with_transient_retry)
 
 
 class TestIsTransient:
@@ -76,6 +77,64 @@ class TestAdviceR3Fixes:
         propagate immediately — only concrete transport symptoms retry."""
         assert not is_transient(JaxRuntimeError(
             "UNAVAILABLE: no such host example.invalid:8093"))
+
+
+class TestCautiousUnavailable:
+    """Advisor r4: UNAVAILABLE errors with NEITHER a known-transient nor a
+    known-persistent symptom (backend blip, preemption window) get ONE
+    cautious retry instead of aborting a multi-hour run immediately."""
+
+    def test_classification(self):
+        assert transient_class(JaxRuntimeError(
+            "UNAVAILABLE: connection reset by peer")) == "fast"
+        assert transient_class(JaxRuntimeError(
+            "UNAVAILABLE: failed to connect to all addresses")) == "cautious"
+        # Known-persistent symptoms never retry.
+        assert transient_class(JaxRuntimeError(
+            "UNAVAILABLE: DNS name resolution failed")) == ""
+        assert transient_class(JaxRuntimeError(
+            "UNAVAILABLE: no such host example.invalid:8093")) == ""
+        assert transient_class(JaxRuntimeError(
+            "UNAVAILABLE: authentication handshake failed")) == ""
+        # Bare INTERNAL (e.g. a kernel compile error) stays non-retryable.
+        assert transient_class(JaxRuntimeError(
+            "INTERNAL: Mosaic failed to compile TPU kernel")) == ""
+
+    def test_single_cautious_retry_then_raises(self):
+        calls = []
+
+        def blip(_):
+            calls.append(1)
+            raise JaxRuntimeError(
+                "UNAVAILABLE: failed to connect to all addresses")
+
+        with pytest.raises(JaxRuntimeError):
+            with_transient_retry(blip, 1, retries=5, backoff_s=0.0)
+        assert len(calls) == 2  # one retry despite retries=5
+
+    def test_cautious_retry_can_succeed(self):
+        calls = []
+
+        def blip(x):
+            calls.append(1)
+            if len(calls) < 2:
+                raise JaxRuntimeError(
+                    "UNAVAILABLE: failed to connect to all addresses")
+            return x
+
+        assert with_transient_retry(blip, 7, retries=5, backoff_s=0.0) == 7
+        assert len(calls) == 2
+
+    def test_persistent_unavailable_raises_immediately(self):
+        calls = []
+
+        def bad(_):
+            calls.append(1)
+            raise JaxRuntimeError("UNAVAILABLE: DNS name resolution failed")
+
+        with pytest.raises(JaxRuntimeError):
+            with_transient_retry(bad, 1, retries=5, backoff_s=0.0)
+        assert len(calls) == 1
 
     def test_consumed_donated_input_not_retried(self):
         """If a transient error surfaces AFTER a donated input was

@@ -18,11 +18,15 @@ artifact (expected output: ``all N trials matched within 1e-6``).
 
 Run:  python tools/crosscheck_pycocotools.py [trials] [seed]
 """
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file's location: the tool is meant to run
+# in OTHER checkouts/environments (wherever pycocotools is installed).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 from podtpu.train.coco_metrics import COCOEvaluator  # noqa: E402
 
