@@ -479,6 +479,14 @@ class TrainConfig:
     # halves the optimizer's HBM traffic on the 41M-param flagship; the
     # update itself still computes in f32 (optax casts per step).
     momentum_dtype: str = "float32"
+    # Flat-buffer SGD (podtpu/train/optim.py::FusedSGD): the whole
+    # clip/wd/momentum/lr update over ONE ravelled vector instead of 86
+    # per-parameter fusions (~0.12 ms fixed overhead each in the round-4
+    # trace).  Same math, same order, f32; differs only in reduction
+    # order inside the grad-norm and in memory layout.  Off by default
+    # (opt_state layout differs, so resumes of old checkpoints need the
+    # unfused chain); parity-tested in tests/test_optim.py.
+    fused_sgd: bool = False
     weight_decay: float = 0.0005
     adam_lr: float = 0.001
     # Separate weight decay for normalisation parameters (GroupNorm
@@ -524,6 +532,17 @@ class TrainConfig:
     # backbones that still carry signal (ResNet, MobileNetV2) train
     # better from their plain init.  True/False force.
     calibrate_bn: object = "auto"
+    # Total-failure detection (round-5; deliberately beyond the
+    # reference): the per-epoch COCO eval can NOTICE a run that is
+    # learning nothing — mAP 0.000 epoch after epoch while the loss
+    # plateaus and ALRS walks through its drops "as if converged" (the
+    # round-4 mobilenet_v3 hard run burned 24 epochs that way).  After
+    # `zero_map_warn_epochs` consecutive zero-mAP evals (past ALRS
+    # startup) a loud diagnostic prints every epoch; with
+    # `abort_on_zero_map=True` the run stops there instead of spending
+    # the rest of its budget.
+    zero_map_warn_epochs: int = 5
+    abort_on_zero_map: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

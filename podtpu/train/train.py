@@ -51,6 +51,56 @@ from podtpu.train.step import (
 )
 
 
+class ZeroMapMonitor:
+    """Total-failure detection: consecutive epochs of eval mAP 0.000.
+
+    The reference cannot notice a run that learns nothing — its ALRS sees
+    only the LOSS (`miso/shared/learning_rate_scheduler.py:98`), so a
+    model whose loss plateaus at garbage walks through the LR drops and
+    terminates "as if converged" (the round-4 mobilenet_v3 hard run
+    burned 24 epochs exactly that way, 0.000 on every stat).  podtpu
+    evaluates COCO stats every epoch anyway, so noticing is free: after
+    ``warn_epochs`` consecutive zero-mAP evals a loud diagnostic prints
+    each epoch, and with ``abort=True`` (``TrainConfig.abort_on_zero_map``)
+    the run stops instead of spending the rest of its budget.
+    """
+
+    def __init__(self, warn_epochs: int = 5, abort: bool = False):
+        self.warn_epochs = max(1, int(warn_epochs))
+        self.abort = abort
+        self.zero_epochs = 0
+
+    def update(self, epoch: int, map_value: float,
+               ar_value: float = float("nan")) -> bool:
+        """Record one epoch's eval mAP (and AR, for the diagnostic).
+        Returns True when the run should abort."""
+        if map_value > 0.0:
+            self.zero_epochs = 0
+            return False
+        self.zero_epochs += 1
+        if self.zero_epochs < self.warn_epochs:
+            return False
+        print("!" * 78)
+        print(f"WARNING: eval mAP has been 0.000 for {self.zero_epochs} "
+              f"consecutive epochs (epoch {epoch}, AR={ar_value:.3f}) — "
+              "the model is detecting NOTHING while the loss-driven ALRS "
+              "schedule proceeds as if converging.")
+        print("Likely causes: a from-scratch recipe mismatch (this "
+              "family may need a higher lr / longer budget — see the "
+              "PARITY.md family table), missing pretrained weights, or "
+              "anchors that cannot cover the object scale "
+              "(tools/probe_mobilenet_v2.py quantifies coverage).")
+        if self.abort:
+            print("Aborting (TrainConfig.abort_on_zero_map=True).")
+            print("!" * 78)
+            return True
+        print("Set TrainConfig.abort_on_zero_map=True to stop such runs "
+              "automatically; raise zero_map_warn_epochs if this recipe "
+              "is expected to start slowly.")
+        print("!" * 78)
+        return False
+
+
 def train(project: Project,
           labels: Optional[List[str]] = None,
           output_dir: Optional[str] = None,
@@ -414,6 +464,20 @@ def train(project: Project,
             print("FrozenBN statistics calibrated on a sample batch "
                   "(from-scratch run: feature taps were vanishing)")
 
+    if restored is not None and cfg.train.optimiser == "sgd":
+        # Resume must rebuild the optimizer FLAVOR the checkpoint was
+        # trained with: a fused flat-buffer state cannot load into the
+        # per-parameter optax chain or vice versa (the math is identical;
+        # only the state layout differs).
+        from podtpu.train.optim import FusedSGDState
+        fused_ckpt = isinstance(restored.get("opt_state"), FusedSGDState)
+        if fused_ckpt != cfg.train.fused_sgd:
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train,
+                                               fused_sgd=fused_ckpt))
+            print("Resuming: checkpoint optimizer state is "
+                  f"{'fused' if fused_ckpt else 'per-parameter'}; "
+                  "matching it")
     tx = make_optimizer(cfg.train, cfg.model)
     state = create_train_state(variables, tx)
     base_lr = cfg.train.adam_lr if optimiser in ("adam", "adamw") \
@@ -471,6 +535,8 @@ def train(project: Project,
     epoch = start_epoch
     stats = None
     final_eval = None
+    zero_monitor = ZeroMapMonitor(cfg.train.zero_map_warn_epochs,
+                                  cfg.train.abort_on_zero_map)
     for epoch in range(start_epoch, max_epochs):
         if sched.exhausted(epoch):
             # A resumed run whose budget is already spent (fixed-schedule
@@ -539,12 +605,13 @@ def train(project: Project,
         # quirk we deliberately do not reproduce.
         final_eval, stats = evaluate(eval_step, state.params, state.frozen,
                                      loader_test, num_classes=len(labels))
+        abort = zero_monitor.update(epoch, float(stats[0]), float(stats[8]))
         # ALRS step BEFORE checkpointing so a resumed scheduler has this
         # epoch's loss in its buffer.
         should_stop = sched.step(epoch, epoch_loss)
         ckpt.save_train_checkpoint(output_dir, state, epoch,
                                    sched.state_dict(), model_cfg=cfg.model)
-        if should_stop:
+        if should_stop or abort:
             break
 
     print("-" * 80)

@@ -110,3 +110,49 @@ class TestScheduler:
         assert t.drop_count == 2
         assert t.buffer.values() == s.buffer.values()
         assert t.lr == pytest.approx(0.005 * 0.25)
+
+
+class TestZeroMapMonitor:
+    """Round-5 failure-awareness: a run whose per-epoch eval mAP stays
+    0.000 must be called out (and optionally aborted) instead of letting
+    the loss-only ALRS terminate it "as if converged" — the round-4
+    mobilenet_v3 hard run burned 24 epochs that way."""
+
+    def _mon(self, **kw):
+        from podtpu.train.train import ZeroMapMonitor
+        return ZeroMapMonitor(**kw)
+
+    def test_warns_after_n_zero_epochs(self, capsys):
+        m = self._mon(warn_epochs=3, abort=False)
+        for epoch in range(2):
+            assert not m.update(epoch, 0.0, 0.0)
+        assert "WARNING" not in capsys.readouterr().out
+        assert not m.update(2, 0.0, 0.0)  # warns, does not abort
+        out = capsys.readouterr().out
+        assert "0.000 for 3 consecutive epochs" in out
+        assert "abort_on_zero_map" in out
+
+    def test_abort_after_n_zero_epochs(self):
+        m = self._mon(warn_epochs=3, abort=True)
+        assert not m.update(0, 0.0)
+        assert not m.update(1, 0.0)
+        assert m.update(2, 0.0)
+
+    def test_nonzero_map_resets(self, capsys):
+        m = self._mon(warn_epochs=2, abort=True)
+        assert not m.update(0, 0.0)
+        assert not m.update(1, 0.01)  # learned something: counter resets
+        assert not m.update(2, 0.0)
+        assert m.update(3, 0.0)
+
+    def test_no_detections_sentinel_counts_as_zero(self):
+        # COCO-style -1 ("nothing to evaluate") is total failure too.
+        m = self._mon(warn_epochs=2, abort=True)
+        assert not m.update(0, -1.0)
+        assert m.update(1, -1.0)
+
+    def test_train_config_has_knobs(self):
+        from podtpu.core.config import TrainConfig
+        cfg = TrainConfig()
+        assert cfg.zero_map_warn_epochs == 5
+        assert cfg.abort_on_zero_map is False
