@@ -28,6 +28,14 @@ import os
 import time
 
 A100_BASELINE_IMG_PER_SEC = 20.0
+
+
+def _train_kw():
+    """BENCH_TRAIN_KW='{"fused_sgd": true, "momentum_dtype": "bfloat16"}'
+    merges TrainConfig overrides into both the synthetic and e2e metrics
+    (the tools/ scripts' PODTPU_BENCH_TRAIN_KW analog)."""
+    kw = os.environ.get("BENCH_TRAIN_KW")
+    return json.loads(kw) if kw else {}
 # A100 eval-forward estimate for the same model/size (~3x train throughput).
 A100_BASELINE_TILES_PER_SEC = 60.0
 
@@ -108,7 +116,7 @@ def bench_e2e():
 
     model_cfg = ModelConfig(num_classes=3, image_size=(CANVAS, CANVAS),
                             compute_dtype="bfloat16")
-    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
+    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH, **_train_kw()),
                  data=DataConfig())
     dataset = DetectionDataset(project, image_size=model_cfg.image_size,
                                max_gt=model_cfg.max_gt_boxes)
@@ -227,7 +235,7 @@ def main():
         image_size=(CANVAS, CANVAS),
         compute_dtype="bfloat16",
     )
-    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH),
+    cfg = Config(model=model_cfg, train=TrainConfig(batch_size=BATCH, **_train_kw()),
                  data=DataConfig())
 
     model = FasterRCNN(cfg=model_cfg)

@@ -93,10 +93,9 @@ def make_dp_per_shard(model: FasterRCNN, tx, cfg: Config,
         losses = jax.lax.pmean(losses, axis_name)
         total = jax.lax.pmean(total, axis_name)
 
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        from podtpu.train.optim import apply_optimizer
+        params, opt_state = apply_optimizer(tx, grads, state.opt_state,
+                                            state.params, lr)
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["lr"] = lr

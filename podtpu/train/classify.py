@@ -111,9 +111,9 @@ def train_classifier(
             return ce.mean(), acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        opt_state.hyperparams["learning_rate"] = step_lr
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        from podtpu.train.optim import apply_optimizer
+        params, opt_state = apply_optimizer(tx, grads, opt_state, params,
+                                            step_lr)
         return params, opt_state, loss, acc
 
     @jax.jit

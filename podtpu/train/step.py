@@ -112,10 +112,9 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        from podtpu.train.optim import apply_optimizer
+        params, opt_state = apply_optimizer(tx, grads, state.opt_state,
+                                            state.params, lr)
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["lr"] = lr

@@ -51,3 +51,36 @@ class TestResume:
                     alrs_startup_factor=1, config=tiny_config(),
                     num_workers=2, resume=True)
         assert os.path.exists(os.path.join(out, "results.txt"))
+
+    def test_resume_matches_checkpoint_optimizer_flavor(self, tmp_path):
+        """A run checkpointed with the fused flat-buffer SGD resumes
+        correctly even when the resuming call's config says otherwise
+        (the state layouts are incompatible; train() matches the
+        checkpoint's flavor — round-5 fused_sgd lever)."""
+        import dataclasses
+
+        from podtpu.train.train import train
+        from podtpu.train.checkpoints import load_train_checkpoint
+
+        project = make_project(str(tmp_path / "imgs"), num_images=6)
+        cfg = tiny_config()
+        fused_cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, fused_sgd=True))
+        kwargs = dict(
+            labels=["particle"], output_dir=str(tmp_path / "models"),
+            name="fusedresume", batch_size=2, alrs_epochs=2,
+            alrs_startup_factor=1, num_workers=2, seed=0,
+        )
+        out = train(project, max_epochs=1, config=fused_cfg, **kwargs)
+        from podtpu.train.optim import FusedSGDState
+        assert isinstance(load_train_checkpoint(out)["opt_state"],
+                          FusedSGDState)
+
+        # Resume WITHOUT fused_sgd in the config: must keep the fused
+        # state rather than crash on layout mismatch.
+        out2 = train(project, max_epochs=2, resume=True, config=cfg,
+                     **kwargs)
+        assert out2 == out
+        ckpt = load_train_checkpoint(out)
+        assert ckpt["epoch"] == 1
+        assert isinstance(ckpt["opt_state"], FusedSGDState)
