@@ -27,6 +27,25 @@ from flax import linen as nn
 
 from podtpu.core.config import ModelConfig
 from podtpu.models.fpn import FPN
+
+
+# Optional proposal-sharding hook (set during tracing by
+# podtpu.parallel.spatial): under spatial partitioning the RoI stage
+# (RoIAlign gather + box-head matmuls) would otherwise replicate on every
+# device — measured as ~ALL of the spatial path's work-division overhead
+# (docs/runs/r05/spatial_decompose: RoI heads at 100.4% per-device share
+# vs the conv stack's 12.7%).  The hook constrains the proposal axis so
+# GSPMD partitions the RoI stage over BOXES instead.
+_PROPOSAL_CONSTRAINT = None
+
+
+def set_proposal_constraint(fn):
+    """Install ``fn(x) -> x`` applied to each proposal tensor (axis 1 =
+    boxes) during tracing; returns the previous hook."""
+    global _PROPOSAL_CONSTRAINT
+    prev = _PROPOSAL_CONSTRAINT
+    _PROPOSAL_CONSTRAINT = fn
+    return prev
 from podtpu.models.resnet import ResNet
 from podtpu.models import roi_heads as rh
 from podtpu.models import rpn as rpn_lib
@@ -134,6 +153,11 @@ class FasterRCNN(nn.Module):
             boxes=jax.lax.stop_gradient(proposals.boxes),
             scores=jax.lax.stop_gradient(proposals.scores),
             valid=proposals.valid)
+        if not train and _PROPOSAL_CONSTRAINT is not None:
+            proposals = rpn_lib.Proposals(
+                boxes=_PROPOSAL_CONSTRAINT(proposals.boxes),
+                scores=_PROPOSAL_CONSTRAINT(proposals.scores),
+                valid=_PROPOSAL_CONSTRAINT(proposals.valid))
 
         if return_proposals and not train:
             return proposals

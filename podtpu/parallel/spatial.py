@@ -37,13 +37,24 @@ def spatial_mesh(devices: Optional[Sequence] = None,
 
 
 def make_spatial_eval_step(model: FasterRCNN, mesh: Mesh,
-                           axis_name: str = "sp"):
+                           axis_name: str = "sp",
+                           shard_rois: bool = True):
     """Inference step with the input canvas sharded over its HEIGHT.
 
     Weights are replicated; the image batch is sharded ``[B, H/n, W, 3]``
     per device.  GSPMD propagates the spatial sharding through the conv
     stack (halo exchange on ICI) and gathers where the detection heads need
     global views.  Outputs are replicated ``Detections``.
+
+    ``shard_rois``: additionally shard the PROPOSAL axis over the mesh so
+    the RoI stage (RoIAlign + box head) partitions over boxes instead of
+    replicating on every device — the round-5 decomposition measured the
+    replicated RoI stage as ~all of the spatial overhead (per-device work
+    18.49% -> 12.75% of the single-device program with this on, vs the
+    12.5% 8-way ideal; conv stack and RPN partition at 12.7/12.6% either
+    way — docs/runs/r05/spatial_decompose.log).  Uses the XLA RoIAlign
+    (the Pallas kernel is opaque to the partitioner and would force a
+    gather back to replicated).
 
     The canvas height must be divisible by the mesh size times the coarsest
     stride (e.g. 64 per device for the P6 level) so every level's rows
@@ -52,6 +63,10 @@ def make_spatial_eval_step(model: FasterRCNN, mesh: Mesh,
     img_sharding = NamedSharding(mesh, P(None, axis_name))
     repl = NamedSharding(mesh, P())
     n = int(np.prod(mesh.devices.shape))
+    if shard_rois and model.cfg.use_pallas_roi_align:
+        import dataclasses
+        model = FasterRCNN(cfg=dataclasses.replace(
+            model.cfg, use_pallas_roi_align=False))
 
     def constrain_feature(x):
         # Pin every FPN tap to a consistent explicit sharding: height-split
@@ -63,17 +78,28 @@ def make_spatial_eval_step(model: FasterRCNN, mesh: Mesh,
         spec = P(None, axis_name) if (h >= n and h % n == 0) else P()
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
+    def constrain_proposals(x):
+        # Boxes axis (dim 1 of [B, P, ...]) sharded over the mesh.
+        spec = [None] * x.ndim
+        spec[1] = axis_name
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
     def fn(params, frozen, images):
+        from podtpu.models.detector import set_proposal_constraint
         from podtpu.models.fpn import set_feature_constraint
 
         images = jax.lax.with_sharding_constraint(images, img_sharding)
         prev = set_feature_constraint(constrain_feature)
+        prev_p = set_proposal_constraint(
+            constrain_proposals if shard_rois else None)
         try:
             # uint8 -> float happens inside the model's _features.
             return model.apply({"params": params, "frozen": frozen},
                                images, train=False)
         finally:
             set_feature_constraint(prev)
+            set_proposal_constraint(prev_p)
 
     return jax.jit(fn,
                    in_shardings=(repl, repl, img_sharding),

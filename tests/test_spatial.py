@@ -40,14 +40,18 @@ class TestSpatialPartitioning:
         return model, variables, jnp.asarray(images)
 
     @pytest.mark.parametrize("n_dev", [2, 4])
-    def test_matches_single_device(self, setup, n_dev):
+    @pytest.mark.parametrize("shard_rois", [False, True])
+    def test_matches_single_device(self, setup, n_dev, shard_rois):
+        """Both RoI modes: replicated heads (shard_rois=False) and the
+        round-5 box-axis-sharded RoI stage (the decomposition measured
+        replicated RoI heads as ~all the spatial overhead)."""
         model, variables, images = setup
         params, frozen = variables["params"], variables["frozen"]
 
         ref = make_eval_step(model)(params, frozen, images)
 
         mesh = spatial_mesh(jax.devices()[:n_dev])
-        step = make_spatial_eval_step(model, mesh)
+        step = make_spatial_eval_step(model, mesh, shard_rois=shard_rois)
         got = step(params, frozen, images)
 
         # GSPMD is semantics-preserving; only reduction-order noise allowed.
