@@ -50,17 +50,23 @@ from podtpu.train.step import make_eval_step
 from podtpu.train.train import train
 from tests.synthetic import HARD_CLASSES, make_hard_project
 
-# family -> (train kwargs, canvas, max_boxes, pretrain_epochs, ft_epochs, lr)
+# family -> (train kwargs, canvas, render, max_boxes,
+#            pretrain_epochs, ft_epochs, lr)
 RECIPES = {
-    "retinanet": (dict(family="retinanet"), 1024, 24, 48, 24, 0.005),
-    "retinanet_v2": (dict(family="retinanet_v2"), 1024, 24, 48, 24, 0.005),
-    "ssd": (dict(family="ssd"), 300, 10, 64, 24, 0.005),
+    "retinanet": (dict(family="retinanet"), 1024, 1024, 24, 48, 24, 0.005),
+    "retinanet_v2": (dict(family="retinanet_v2"), 1024, 1024, 24,
+                     48, 24, 0.005),
+    "ssd": (dict(family="ssd"), 300, 300, 10, 64, 24, 0.005),
     # SSDLite's from-scratch recipe needs the aggressive lr
     # (torchvision: 0.15 @ batch 24 cosine; see convergence_families).
-    "ssdlite": (dict(family="ssdlite"), 320, 10, 120, 40, 0.05),
-    # The family recipe lr (0.01); its 0.000 r4 row is diagnosed by
-    # tools/diagnose_mnv3.py — this provides its fine-tune-first number.
-    "mobilenet_v3_fpn": (dict(backbone="mobilenet_v3_fpn"), 1024, 24,
+    "ssdlite": (dict(family="ssdlite"), 320, 320, 10, 120, 40, 0.05),
+    # The family recipe lr (0.01) ON THE UP2 RENDERING (render 512 ->
+    # 1024 canvas): the round-5 diagnosis (tools/diagnose_mnv3.py,
+    # tools/probe_mnv3.py) measured the native-render hard task leaving
+    # 53% of gts sub-cell at the family's stride-32 pyramid with RPN
+    # objectness separation 0.000 — the same resolution bound the
+    # documented mobilenet_v2 up2 recipe fixes.
+    "mobilenet_v3_fpn": (dict(backbone="mobilenet_v3_fpn"), 1024, 512, 12,
                          48, 24, 0.01),
 }
 
@@ -95,20 +101,21 @@ def score(out, project, cfg, batch=4):
     return stats
 
 
-def get_projects(root, canvas, max_boxes, cache={}):
-    key = (canvas, max_boxes)
+def get_projects(root, render, max_boxes, cache={}):
+    key = (render, max_boxes)
     if key not in cache:
-        pre = make_hard_project(f"{root}/pre_{canvas}",
+        pre = make_hard_project(f"{root}/pre_{render}",
                                 num_images=PRETRAIN_IMAGES,
-                                image_size=(canvas, canvas),
+                                image_size=(render, render),
                                 max_boxes=max_boxes, seed=PRETRAIN_SEED)
-        ft = make_hard_project(f"{root}/ft_{canvas}", num_images=FT_IMAGES,
-                               image_size=(canvas, canvas),
+        ft = make_hard_project(f"{root}/ft_{render}", num_images=FT_IMAGES,
+                               image_size=(render, render),
                                max_boxes=max_boxes, seed=FT_SEED)
         cache[key] = (pre, ft)
         for tag, p in (("pretrain", pre), ("ft", ft)):
             counts = p.label_counts()
-            print(f"{tag} dataset ({canvas}px): {len(p.image_dict)} images,",
+            print(f"{tag} dataset ({render}px render): "
+                  f"{len(p.image_dict)} images,",
                   sum(counts.values()), "boxes", dict(counts), flush=True)
     return cache[key]
 
@@ -118,8 +125,9 @@ def emit(row):
 
 
 def run_family(family, root):
-    kwargs, canvas, max_boxes, pre_epochs, ft_epochs, lr = RECIPES[family]
-    pre_project, ft_project = get_projects(root, canvas, max_boxes)
+    kwargs, canvas, render, max_boxes, pre_epochs, ft_epochs, lr = \
+        RECIPES[family]
+    pre_project, ft_project = get_projects(root, render, max_boxes)
     cfg = make_cfg(canvas, lr)
 
     print(f"\n##### {family}: pretrain {pre_epochs} ep @ lr {lr}, "
@@ -131,7 +139,7 @@ def run_family(family, root):
                     seed=0, num_devices=1, **kwargs)
     pre_stats = score(pre_out, pre_project, cfg)
     emit({"family": family, "phase": "pretrain", "canvas": canvas,
-          "epochs": pre_epochs, "lr": lr,
+          "render": render, "epochs": pre_epochs, "lr": lr,
           "mAP": round(pre_stats[0], 4), "AP50": round(pre_stats[1], 4),
           "AR300": round(pre_stats[8], 4)})
 
@@ -144,14 +152,14 @@ def run_family(family, root):
                    pretrained=pre_out, **kwargs)
     ft_stats = score(ft_out, ft_project, cfg)
     emit({"family": family, "phase": "finetune", "canvas": canvas,
-          "epochs": ft_epochs, "lr": lr,
+          "render": render, "epochs": ft_epochs, "lr": lr,
           "mAP": round(ft_stats[0], 4), "AP50": round(ft_stats[1], 4),
           "AP75": round(ft_stats[2], 4), "AR300": round(ft_stats[8], 4)})
 
 
 def run_retinanet_scratch48(root):
-    kwargs, canvas, max_boxes, _, _, lr = RECIPES["retinanet"]
-    _, ft_project = get_projects(root, canvas, max_boxes)
+    kwargs, canvas, render, max_boxes, _, _, lr = RECIPES["retinanet"]
+    _, ft_project = get_projects(root, render, max_boxes)
     cfg = make_cfg(canvas, lr)
     print("\n##### retinanet: FROM SCRATCH, 48 epochs on the standard "
           "hard task", flush=True)

@@ -18,6 +18,12 @@ pathology:
   midlr24  lr 0.01, 24 epochs, alrs_epochs 5  (same budget as r4, right lr)
   nocal    `recipe` with calibrate_bn=False   (is calibration hurting at 1024?)
   repro    the exact r4 recipe (lr 0.005, 24 ep) — baseline confirmation
+  up2      `recipe` with the task RENDERED at 512 and upscaled to the 1024
+           canvas — the documented mobilenet_v2 small-object recipe applied
+           to this family: it doubles every object's extent in stride-32
+           cells (the hard task's native 18-170 px draw leaves 53% of gts
+           under 2 cells at stride 32, vs 0% for the flagship's stride-4..32
+           pyramid — tools/probe_mnv3.py)
 
 Per-epoch COCO stats print from train()'s epoch loop, so the log records
 the full mAP trajectory, not just the endpoint.
@@ -44,17 +50,18 @@ from tests.synthetic import HARD_CLASSES, make_hard_project
 CANVAS = 1024
 NUM_IMAGES = 200
 
-# name -> (lr, epochs, alrs_epochs, calibrate_bn)
+# name -> (lr, epochs, alrs_epochs, calibrate_bn, render)
 VARIANTS = {
-    "recipe": (0.01, 48, 8, "auto"),
-    "midlr24": (0.01, 24, 5, "auto"),
-    "nocal": (0.01, 48, 8, False),
-    "repro": (0.005, 24, 5, "auto"),
+    "recipe": (0.01, 48, 8, "auto", CANVAS),
+    "midlr24": (0.01, 24, 5, "auto", CANVAS),
+    "nocal": (0.01, 48, 8, False, CANVAS),
+    "repro": (0.005, 24, 5, "auto", CANVAS),
+    "up2": (0.01, 48, 8, "auto", 512),
 }
 
 
 def run_variant(name, project, root):
-    lr, epochs, alrs_epochs, calibrate = VARIANTS[name]
+    lr, epochs, alrs_epochs, calibrate, _ = VARIANTS[name]
     print(f"\n##### variant {name}: lr={lr} epochs={epochs} "
           f"alrs_epochs={alrs_epochs} calibrate_bn={calibrate}", flush=True)
     cfg = Config(model=ModelConfig(image_size=(CANVAS, CANVAS),
@@ -98,15 +105,22 @@ def main():
     variants = sys.argv[1:] or ["recipe"]
     print("devices:", jax.devices(), "variants:", variants, flush=True)
     root = tempfile.mkdtemp(prefix="podtpu_mnv3diag_")
-    # The EXACT round-4 hard task: 200 images, seed 7, 1024 canvas.
-    project = make_hard_project(root, num_images=NUM_IMAGES,
-                                image_size=(CANVAS, CANVAS), max_boxes=24,
-                                seed=7)
-    counts = project.label_counts()
-    print("dataset ready:", len(project.image_dict), "images,",
-          sum(counts.values()), "boxes", dict(counts), flush=True)
+    projects = {}
     for name in variants:
-        run_variant(name, project, root)
+        render = VARIANTS[name][4]
+        if render not in projects:
+            # render == CANVAS: the EXACT round-4 hard task (200 images,
+            # seed 7).  render < CANVAS: same distribution drawn at the
+            # smaller size, upscaled at load time (the up2 recipe).
+            projects[render] = make_hard_project(
+                f"{root}/r{render}", num_images=NUM_IMAGES,
+                image_size=(render, render),
+                max_boxes=24 if render == CANVAS else 12, seed=7)
+            counts = projects[render].label_counts()
+            print(f"dataset ready (render {render}):",
+                  len(projects[render].image_dict), "images,",
+                  sum(counts.values()), "boxes", dict(counts), flush=True)
+        run_variant(name, projects[render], root)
 
 
 if __name__ == "__main__":
