@@ -50,31 +50,40 @@ from tests.synthetic import HARD_CLASSES, make_hard_project
 CANVAS = 1024
 NUM_IMAGES = 200
 
-# name -> (lr, epochs, alrs_epochs, calibrate_bn, render)
+# name -> (lr, epochs, alrs_epochs, calibrate_bn, render, task, backbone)
+# The `mnv2_hard_up2` / `easy_up2` rows are DIFFERENTIALS that partition
+# the hypothesis space after `up2` also scored 0.000 (j30): does ANY
+# stride-32 family learn the hard task at the up2 rendering
+# (mobilenet_v2, the family whose up2 recipe measured 0.79 on the easy
+# task)?  And does mobilenet_v3_fpn learn the EASY task at the 1024
+# canvas (isolating canvas-specific breakage from task hardness)?
 VARIANTS = {
-    "recipe": (0.01, 48, 8, "auto", CANVAS),
-    "midlr24": (0.01, 24, 5, "auto", CANVAS),
-    "nocal": (0.01, 48, 8, False, CANVAS),
-    "repro": (0.005, 24, 5, "auto", CANVAS),
-    "up2": (0.01, 48, 8, "auto", 512),
+    "recipe": (0.01, 48, 8, "auto", CANVAS, "hard", "mobilenet_v3_fpn"),
+    "midlr24": (0.01, 24, 5, "auto", CANVAS, "hard", "mobilenet_v3_fpn"),
+    "nocal": (0.01, 48, 8, False, CANVAS, "hard", "mobilenet_v3_fpn"),
+    "repro": (0.005, 24, 5, "auto", CANVAS, "hard", "mobilenet_v3_fpn"),
+    "up2": (0.01, 48, 8, "auto", 512, "hard", "mobilenet_v3_fpn"),
+    "mnv2_hard_up2": (0.01, 48, 8, "auto", 512, "hard", "mobilenet_v2"),
+    "easy_up2": (0.01, 48, 8, "auto", 512, "easy", "mobilenet_v3_fpn"),
 }
 
 
 def run_variant(name, project, root):
-    lr, epochs, alrs_epochs, calibrate, _ = VARIANTS[name]
+    lr, epochs, alrs_epochs, calibrate, _, task, backbone = VARIANTS[name]
     print(f"\n##### variant {name}: lr={lr} epochs={epochs} "
           f"alrs_epochs={alrs_epochs} calibrate_bn={calibrate}", flush=True)
+    labels = list(HARD_CLASSES) if task == "hard" else ["particle"]
     cfg = Config(model=ModelConfig(image_size=(CANVAS, CANVAS),
                                    compute_dtype="bfloat16"),
                  train=TrainConfig(warmup_iters=200, log_every=10,
                                    clip_grad_norm=10.0, lr=lr,
                                    calibrate_bn=calibrate),
                  data=DataConfig(num_workers=4))
-    out = train(project, labels=list(HARD_CLASSES), output_dir=root,
+    out = train(project, labels=labels, output_dir=root,
                 name=f"mnv3_{name}", batch_size=4, max_epochs=epochs,
                 alrs_epochs=alrs_epochs, alrs_startup_factor=1, config=cfg,
                 num_workers=4, seed=0, num_devices=1,
-                backbone="mobilenet_v3_fpn")
+                backbone=backbone)
     print("trained:", out, flush=True)
 
     params, frozen, model_cfg, labels = load_model(out)
@@ -91,6 +100,7 @@ def run_variant(name, project, root):
                                 verbose=True)
     print(evaluator.per_class_text(labels), flush=True)
     print(json.dumps({"benchmark": "diagnose_mnv3", "variant": name,
+                      "task": task, "backbone": backbone,
                       "canvas": CANVAS, "lr": lr, "epochs": epochs,
                       "mAP": round(stats[0], 4),
                       "AP50": round(stats[1], 4),
@@ -107,20 +117,29 @@ def main():
     root = tempfile.mkdtemp(prefix="podtpu_mnv3diag_")
     projects = {}
     for name in variants:
-        render = VARIANTS[name][4]
-        if render not in projects:
-            # render == CANVAS: the EXACT round-4 hard task (200 images,
-            # seed 7).  render < CANVAS: same distribution drawn at the
-            # smaller size, upscaled at load time (the up2 recipe).
-            projects[render] = make_hard_project(
-                f"{root}/r{render}", num_images=NUM_IMAGES,
-                image_size=(render, render),
-                max_boxes=24 if render == CANVAS else 12, seed=7)
-            counts = projects[render].label_counts()
-            print(f"dataset ready (render {render}):",
-                  len(projects[render].image_dict), "images,",
+        render, task = VARIANTS[name][4], VARIANTS[name][5]
+        key = (task, render)
+        if key not in projects:
+            if task == "hard":
+                # render == CANVAS: the EXACT round-4 hard task (200
+                # images, seed 7).  render < CANVAS: same distribution
+                # drawn at the smaller size, upscaled at load time (up2).
+                projects[key] = make_hard_project(
+                    f"{root}/{task}{render}", num_images=NUM_IMAGES,
+                    image_size=(render, render),
+                    max_boxes=24 if render == CANVAS else 12, seed=7)
+            else:
+                # The EASY particle task at the convergence_families
+                # operating point (60 images, seed 7).
+                from tests.synthetic import make_project
+                projects[key] = make_project(
+                    f"{root}/{task}{render}", num_images=60,
+                    image_size=(render, render), max_boxes=6, seed=7)
+            counts = projects[key].label_counts()
+            print(f"dataset ready ({task}, render {render}):",
+                  len(projects[key].image_dict), "images,",
                   sum(counts.values()), "boxes", dict(counts), flush=True)
-        run_variant(name, projects[render], root)
+        run_variant(name, projects[key], root)
 
 
 if __name__ == "__main__":
