@@ -50,6 +50,17 @@ class ModelConfig:
     backbone: str = "resnet50_fpn"
     backbone_depth: int = 50
     trainable_backbone_stages: int = 3  # of 5 (stem + 4 stages), from the top
+    # Backbone normalisation: "frozen" (torchvision FrozenBatchNorm2d —
+    # the PRETRAINED-start norm) or "batch" (torch BatchNorm2d — the norm
+    # torchvision's detection constructors select for from-scratch
+    # training: ``norm_layer = FrozenBatchNorm2d if is_trained else
+    # nn.BatchNorm2d``).  train() auto-selects "batch" for from-scratch
+    # runs on the mobile trunks, where identity-init frozen BN measurably
+    # prevents learning (the round-5 mobilenet_v3 diagnosis); ResNet
+    # trains well frozen-from-scratch and keeps "frozen" unless forced.
+    # Stored in the model config, so saved models rebuild with the norm
+    # they were trained with.
+    backbone_norm: str = "frozen"
     fpn_channels: int = 256
     # Evaluate the stem 7x7/s2 conv via 2x2 space-to-depth (exact same
     # math; see models/resnet.py StemConv).  Raises stem MXU occupancy 4x

@@ -66,6 +66,7 @@ class FasterRCNN(nn.Module):
 
             self.backbone = MobileNetV2(
                 dtype=dtype, trainable_stages=cfg.trainable_backbone_stages,
+                bn_trainable=cfg.backbone_norm == "batch",
                 name="backbone")
             self.fpn = None
             rpn_channels = OUT_CHANNELS
@@ -77,6 +78,7 @@ class FasterRCNN(nn.Module):
 
             self.backbone = MobileNetV3FPN(
                 dtype=dtype, trainable_stages=cfg.trainable_backbone_stages,
+                bn_trainable=cfg.backbone_norm == "batch",
                 name="backbone")
             self.fpn = FPN(out_channels=cfg.fpn_channels, dtype=dtype,
                            first_level=0, name="fpn")

@@ -60,13 +60,16 @@ class InvertedResidual(nn.Module):
     stride: int
     expand: int
     dtype: Dtype = jnp.bfloat16
+    bn_trainable: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         hidden = in_ch * self.expand
         kw = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
-        bn = lambda f, name: FrozenBatchNorm(f, dtype=self.dtype, name=name)
+        bn = lambda f, name: FrozenBatchNorm(f, dtype=self.dtype,
+                                             trainable=self.bn_trainable,
+                                             name=name)
 
         y = x
         if self.expand != 1:
@@ -94,6 +97,8 @@ class MobileNetV2(nn.Module):
 
     dtype: Dtype = jnp.bfloat16
     trainable_stages: int = 3
+    # torchvision's from-scratch norm rule (see FrozenBatchNorm.trainable).
+    bn_trainable: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -103,7 +108,9 @@ class MobileNetV2(nn.Module):
 
         h = nn.Conv(32, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     name="stem", **kw)(x)
-        h = relu6(FrozenBatchNorm(32, dtype=self.dtype, name="bn_stem")(h))
+        h = relu6(FrozenBatchNorm(32, dtype=self.dtype,
+                                  trainable=self.bn_trainable,
+                                  name="bn_stem")(h))
 
         # Freeze-unit boundaries after these block indices (1-based), chosen
         # at the stride transitions: block 1 (s4 in), 3 (s4), 6 (s8), 13
@@ -116,12 +123,14 @@ class MobileNetV2(nn.Module):
                 stride = s if i == 0 else 1
                 h = InvertedResidual(out_ch=c, stride=stride, expand=t,
                                      dtype=self.dtype,
+                                     bn_trainable=self.bn_trainable,
                                      name=f"block{idx}")(h)
                 if boundaries.get(idx, 99) < freeze_from:
                     h = jax.lax.stop_gradient(h)
 
         h = nn.Conv(OUT_CHANNELS, (1, 1), name="head", **kw)(h)
         h = relu6(FrozenBatchNorm(OUT_CHANNELS, dtype=self.dtype,
+                                  trainable=self.bn_trainable,
                                   name="bn_head")(h))
         if 4 < freeze_from:
             h = jax.lax.stop_gradient(h)

@@ -91,13 +91,16 @@ class InvertedResidualV3(nn.Module):
     stride: int
     split_expand: bool = False
     dtype: Dtype = jnp.bfloat16
+    bn_trainable: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         act = hardswish if self.act == "HS" else nn.relu
         kw = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
-        bn = lambda f, name: FrozenBatchNorm(f, dtype=self.dtype, name=name)
+        bn = lambda f, name: FrozenBatchNorm(f, dtype=self.dtype,
+                                             trainable=self.bn_trainable,
+                                             name=name)
 
         y = x
         if self.expanded != in_ch:
@@ -143,6 +146,8 @@ class MobileNetV3FPN(nn.Module):
 
     dtype: Dtype = jnp.bfloat16
     trainable_stages: int = 3
+    # torchvision's from-scratch norm rule (see FrozenBatchNorm.trainable).
+    bn_trainable: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -153,7 +158,7 @@ class MobileNetV3FPN(nn.Module):
         h = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     name="stem", **kw)(x)
         h = hardswish(FrozenBatchNorm(16, dtype=self.dtype,
-                                      name="bn_stem")(h))
+                                      trainable=self.bn_trainable, name="bn_stem")(h))
 
         boundaries = {1: 0, 3: 1, 6: 2, 12: 3}
         c13 = None
@@ -161,7 +166,8 @@ class MobileNetV3FPN(nn.Module):
                                                   start=1):
             h = InvertedResidualV3(
                 kernel=k, expanded=e, out_ch=c, use_se=se, act=a, stride=s,
-                dtype=self.dtype, name=f"block{idx}")(h)
+                dtype=self.dtype, bn_trainable=self.bn_trainable,
+                name=f"block{idx}")(h)
             if idx == C4_BLOCK:
                 c13 = h  # 160-channel stride-32 tap (features[13] output)
             # Freeze boundaries all sit BEFORE the C4 block (keys 1/3/6/12),
@@ -171,7 +177,7 @@ class MobileNetV3FPN(nn.Module):
 
         h = nn.Conv(960, (1, 1), name="head", **kw)(h)
         h = hardswish(FrozenBatchNorm(960, dtype=self.dtype,
-                                      name="bn_head")(h))
+                                      trainable=self.bn_trainable, name="bn_head")(h))
         if 4 < freeze_from:
             h = jax.lax.stop_gradient(h)
             c13 = jax.lax.stop_gradient(c13)
@@ -188,6 +194,8 @@ class MobileNetV3SSDLite(nn.Module):
 
     dtype: Dtype = jnp.bfloat16
     trainable_stages: int = 3
+    # torchvision's from-scratch norm rule (see FrozenBatchNorm.trainable).
+    bn_trainable: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -198,7 +206,7 @@ class MobileNetV3SSDLite(nn.Module):
         h = nn.Conv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     name="stem", **kw)(x)
         h = hardswish(FrozenBatchNorm(16, dtype=self.dtype,
-                                      name="bn_stem")(h))
+                                      trainable=self.bn_trainable, name="bn_stem")(h))
 
         boundaries = {1: 0, 3: 1, 6: 2, 12: 3}  # after block idx -> unit
         c4 = None
@@ -207,7 +215,7 @@ class MobileNetV3SSDLite(nn.Module):
             block = InvertedResidualV3(
                 kernel=k, expanded=e, out_ch=c, use_se=se, act=a, stride=s,
                 split_expand=(idx == C4_BLOCK), dtype=self.dtype,
-                name=f"block{idx}")
+                bn_trainable=self.bn_trainable, name=f"block{idx}")
             if idx == C4_BLOCK:
                 h, c4 = block(h)
             else:
@@ -217,7 +225,7 @@ class MobileNetV3SSDLite(nn.Module):
 
         h = nn.Conv(960, (1, 1), name="head", **kw)(h)
         h = hardswish(FrozenBatchNorm(960, dtype=self.dtype,
-                                      name="bn_head")(h))
+                                      trainable=self.bn_trainable, name="bn_head")(h))
         if 4 < freeze_from:
             h = jax.lax.stop_gradient(h)
             c4 = jax.lax.stop_gradient(c4)
@@ -226,15 +234,15 @@ class MobileNetV3SSDLite(nn.Module):
         def extra(h, out_ch, name):
             mid = out_ch // 2
             h = relu6(FrozenBatchNorm(mid, dtype=self.dtype,
-                                      name=f"{name}_bn1")(
+                                      trainable=self.bn_trainable, name=f"{name}_bn1")(
                 nn.Conv(mid, (1, 1), name=f"{name}_1", **kw)(h)))
             h = relu6(FrozenBatchNorm(mid, dtype=self.dtype,
-                                      name=f"{name}_bn2")(
+                                      trainable=self.bn_trainable, name=f"{name}_bn2")(
                 nn.Conv(mid, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)], feature_group_count=mid,
                         name=f"{name}_dw", **kw)(h)))
             h = relu6(FrozenBatchNorm(out_ch, dtype=self.dtype,
-                                      name=f"{name}_bn3")(
+                                      trainable=self.bn_trainable, name=f"{name}_bn3")(
                 nn.Conv(out_ch, (1, 1), name=f"{name}_2", **kw)(h)))
             return h
 

@@ -26,28 +26,73 @@ Dtype = Any
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm with fixed statistics and affine params.
+    """BatchNorm with fixed statistics and affine params — plus a
+    ``trainable`` mode reproducing ``torch.nn.BatchNorm2d``.
 
-    Parameters live in the ``frozen`` variable collection — they are loaded
-    from pretrained checkpoints and never trained; at apply time the four
-    vectors fold into one scale+shift.
+    ``trainable=False`` (default): parameters live in the ``frozen``
+    variable collection — they are loaded from pretrained checkpoints and
+    never trained; at apply time the four vectors fold into one
+    scale+shift.  This is torchvision's ``FrozenBatchNorm2d``, which it
+    selects ONLY for pretrained starts (``norm_layer = FrozenBatchNorm2d
+    if is_trained else nn.BatchNorm2d`` in every detection constructor).
+
+    ``trainable=True`` (round 5): the from-scratch norm torchvision would
+    use.  The affine weight/bias move to ``params`` (trained, weight-
+    decayed like torch), the running mean/var stay in ``frozen`` (same
+    names, so checkpoint paths are stable) and update with torch's 0.1
+    momentum whenever the caller marks the ``frozen`` collection mutable
+    — the training step's signal; evaluation applies without mutability
+    and gets the running averages, exactly torch eval semantics.
+    Measured necessity: identity-init frozen BN leaves the 15-block
+    MobileNetV3 trunk effectively normalisation-free and its RPN never
+    learns the hard task (objectness separation 0.000,
+    docs/runs/r05/) — one-shot calibration was not enough at the 1024
+    canvas.
     """
 
     features: int
     eps: float = 1e-5
     dtype: Dtype = jnp.bfloat16
+    trainable: bool = False
+    momentum: float = 0.1  # torch BatchNorm2d default
 
     @nn.compact
     def __call__(self, x):
         ones = lambda *_: jnp.ones((self.features,), jnp.float32)
         zeros = lambda *_: jnp.zeros((self.features,), jnp.float32)
-        weight = self.variable("frozen", "weight", ones).value
-        bias = self.variable("frozen", "bias", zeros).value
-        mean = self.variable("frozen", "mean", zeros).value
-        var = self.variable("frozen", "var", ones).value
-        scale = weight * jax.lax.rsqrt(var + self.eps)
-        shift = bias - mean * scale
-        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+        if not self.trainable:
+            weight = self.variable("frozen", "weight", ones).value
+            bias = self.variable("frozen", "bias", zeros).value
+            mean = self.variable("frozen", "mean", zeros).value
+            var = self.variable("frozen", "var", ones).value
+            scale = weight * jax.lax.rsqrt(var + self.eps)
+            shift = bias - mean * scale
+            return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+        weight = self.param("weight", nn.initializers.ones,
+                            (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean_v = self.variable("frozen", "mean", zeros)
+        var_v = self.variable("frozen", "var", ones)
+        training = self.is_mutable_collection("frozen")
+        xf = x.astype(jnp.float32)
+        if training:
+            m = jnp.mean(xf, axis=(0, 1, 2))
+            v = jnp.var(xf, axis=(0, 1, 2))
+            if not self.is_initializing():
+                # torch stores the UNBIASED variance in running_var.
+                n = xf.shape[0] * xf.shape[1] * xf.shape[2]
+                unbiased = v * (n / max(n - 1, 1))
+                mean_v.value = ((1 - self.momentum) * mean_v.value
+                                + self.momentum * jax.lax.stop_gradient(m))
+                var_v.value = ((1 - self.momentum) * var_v.value
+                               + self.momentum
+                               * jax.lax.stop_gradient(unbiased))
+        else:
+            m, v = mean_v.value, var_v.value
+        y = (xf - m) * jax.lax.rsqrt(v + self.eps) * weight + bias
+        return y.astype(self.dtype)
 
 
 class StemConv(nn.Module):

@@ -240,6 +240,7 @@ class SSD(nn.Module):
 
             self.backbone = MobileNetV3SSDLite(
                 dtype=dtype, trainable_stages=cfg.trainable_backbone_stages,
+                bn_trainable=cfg.backbone_norm == "batch",
                 name="backbone")
             separable = True
         else:

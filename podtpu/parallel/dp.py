@@ -80,18 +80,31 @@ def make_dp_per_shard(model: FasterRCNN, tx, cfg: Config,
         if "image_weight" in batch:
             gt["image_weight"] = batch["image_weight"]
 
+        batch_norm = cfg.model.backbone_norm == "batch"
+
         def loss_fn(params):
+            if batch_norm:
+                # Trainable-BN trunks (see FrozenBatchNorm.trainable):
+                # normalisation uses LOCAL shard batch stats (torch DDP
+                # non-sync-BN semantics); the running stats are pmean'd
+                # below so the replicated-state invariant holds.
+                losses, muts = model.apply(
+                    {"params": params, "frozen": state.frozen}, images,
+                    gt=gt, train=True, rng=rng_model, mutable=["frozen"])
+                return sum(losses.values()), (losses, muts["frozen"])
             losses = model.apply({"params": params, "frozen": state.frozen},
                                  images, gt=gt, train=True, rng=rng_model)
-            return sum(losses.values()), losses
+            return sum(losses.values()), (losses, state.frozen)
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, new_frozen)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
         # The DP allreduce: mean gradients (and metrics) across shards.
         grads = jax.lax.pmean(grads, axis_name)
         losses = jax.lax.pmean(losses, axis_name)
         total = jax.lax.pmean(total, axis_name)
+        if batch_norm:
+            new_frozen = jax.lax.pmean(new_frozen, axis_name)
 
         from podtpu.train.optim import apply_optimizer
         params, opt_state = apply_optimizer(tx, grads, state.opt_state,
@@ -99,7 +112,7 @@ def make_dp_per_shard(model: FasterRCNN, tx, cfg: Config,
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["lr"] = lr
-        return TrainState(params=params, frozen=state.frozen,
+        return TrainState(params=params, frozen=new_frozen,
                           opt_state=opt_state, step=state.step + 1), metrics
 
     return per_shard

@@ -104,12 +104,23 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
         if "image_weight" in batch:
             gt["image_weight"] = batch["image_weight"]
 
+        batch_norm = cfg.model.backbone_norm == "batch"
+
         def loss_fn(params):
+            if batch_norm:
+                # Trainable-BN trunks: marking `frozen` mutable is the
+                # training signal (see FrozenBatchNorm.trainable); the
+                # updated running stats ride the aux output into the new
+                # state.
+                losses, muts = model.apply(
+                    {"params": params, "frozen": state.frozen}, images,
+                    gt=gt, train=True, rng=rng_model, mutable=["frozen"])
+                return sum(losses.values()), (losses, muts["frozen"])
             losses = model.apply({"params": params, "frozen": state.frozen},
                                  images, gt=gt, train=True, rng=rng_model)
-            return sum(losses.values()), losses
+            return sum(losses.values()), (losses, state.frozen)
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, new_frozen)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
         from podtpu.train.optim import apply_optimizer
@@ -118,7 +129,7 @@ def make_train_step(model: FasterRCNN, tx, cfg: Config):
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["lr"] = lr
-        new_state = TrainState(params=params, frozen=state.frozen,
+        new_state = TrainState(params=params, frozen=new_frozen,
                                opt_state=opt_state, step=state.step + 1)
         return new_state, metrics
 

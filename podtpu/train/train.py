@@ -265,6 +265,35 @@ def train(project: Project,
                                         trainable_backbone_stages=5)
         print("No pretrained weights: training all backbone stages "
               "(freezing random features would stall learning)")
+    if (pretrained is None and restored is None
+            and model_cfg.backbone in ("mobilenet_v2", "mobilenet_v3_fpn",
+                                       "mobilenet_v3")
+            and model_cfg.backbone_norm == "frozen"):
+        # torchvision's from-scratch norm rule (``norm_layer =
+        # FrozenBatchNorm2d if is_trained else nn.BatchNorm2d``): frozen
+        # identity-init BN leaves the deep mobile trunks normalisation-
+        # free, and one-shot calibration is measurably insufficient (the
+        # round-5 mobilenet_v3 diagnosis: RPN objectness separation
+        # 0.000 on the 1024-canvas hard task).  ResNet trains well from
+        # scratch frozen and is left alone.
+        model_cfg = dataclasses.replace(model_cfg, backbone_norm="batch")
+        print("No pretrained weights: mobile trunk uses trainable "
+              "BatchNorm (torchvision's from-scratch norm rule)")
+    if pretrained and os.path.isdir(pretrained) and not resumed_model_cfg:
+        # Fine-tuning from a podtpu model dir: adopt its backbone_norm —
+        # a batch-norm-trained trunk's BN affine lives in `params` and
+        # would silently reset to identity under the frozen-mode layout.
+        import json as _json
+        pcfg_path = os.path.join(pretrained, "config.json")
+        if os.path.exists(pcfg_path):
+            with open(pcfg_path) as fp:
+                stored_norm = _json.load(fp).get("model", {}).get(
+                    "backbone_norm", "frozen")
+            if stored_norm != model_cfg.backbone_norm:
+                model_cfg = dataclasses.replace(model_cfg,
+                                                backbone_norm=stored_norm)
+                print(f"Pretrained model uses backbone_norm="
+                      f"{stored_norm}; matching it")
     if resumed_model_cfg:
         cfg = dataclasses.replace(
             cfg,
@@ -446,7 +475,10 @@ def train(project: Project,
         from podtpu.models.weights import load_pretrained
         variables = load_pretrained(variables, pretrained)
     elif restored is None and cfg.train.calibrate_bn is not False \
+            and cfg.model.backbone_norm != "batch" \
             and variables.get("frozen"):
+        # (Trainable-BN trunks need no one-shot calibration: the batch
+        # statistics normalise continuously from step 0.)
         # From scratch: set FrozenBN statistics from one real batch
         # (LSUV-style; see podtpu/train/calibrate.py — identity-init
         # frozen BN leaves deep mobile trunks normalisation-free).
