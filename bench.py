@@ -109,7 +109,7 @@ def bench_e2e():
     from podtpu.train.step import create_train_state, make_train_step
     from tests.synthetic import make_project
 
-    n_images = int(os.environ.get("BENCH_E2E_IMAGES", "48"))
+    n_images = int(os.environ.get("BENCH_E2E_IMAGES", "64"))
     root = tempfile.mkdtemp(prefix="podtpu_bench_")
     project = make_project(root, num_images=n_images,
                            image_size=(CANVAS, CANVAS), max_boxes=8)
@@ -163,6 +163,14 @@ def bench_e2e():
     if windowed:
         cached_step = dcache.make_cached_train_step(step)
 
+    # K-steps-per-dispatch (the product train() gate: device-cache mode
+    # only) — per-dispatch RPC latency is the measured residue between
+    # synthetic and loader-included throughput.
+    multi = None
+    if use_device_cache and cfg.train.steps_per_dispatch > 1:
+        multi = dcache.make_cached_multi_step(
+            step, cfg.train.steps_per_dispatch)
+
     def run_step(state, payload, bvalid, it):
         if use_device_cache:
             return cached_step(state, cache.arrays, payload.astype(np.int32),
@@ -177,15 +185,28 @@ def bench_e2e():
         batch["image_weight"] = bvalid.astype(np.float32)
         return step(state, batch, jax.random.fold_in(key, it), lr)
 
+    def run_group(state, group, it0):
+        if len(group) > 1:
+            idx = np.stack([p.astype(np.int32) for p, _ in group])
+            w = np.stack([v.astype(np.float32) for _, v in group])
+            rngs = jax.random.split(jax.random.fold_in(key, it0),
+                                    len(group))
+            lrs = np.full((len(group),), lr, np.float32)
+            state, metrics = multi(state, cache.arrays, idx, w, rngs, lrs)
+            return state, {k: v[-1] for k, v in metrics.items()}
+        return run_step(state, *group[0], it0)
+
     key = jax.random.key(1)
     lr = np.float32(0.005)
+    from podtpu.train.train import _dispatch_groups
+    k_dispatch = cfg.train.steps_per_dispatch if multi is not None else 1
 
     # Warmup epoch: compiles + fills the decoded-canvas cache (run the FULL
     # epoch so the timed phase measures steady state, which is what every
     # epoch after the first looks like in real training).
     metrics = None
-    for it, (payload, bvalid) in enumerate(loader):
-        state, metrics = run_step(state, payload, bvalid, it)
+    for it, group in enumerate(_dispatch_groups(loader, k_dispatch)):
+        state, metrics = run_group(state, group, it)
     _ = float(metrics["loss"])
 
     # Timed epochs: wall time + loader-wait split.
@@ -195,16 +216,16 @@ def bench_e2e():
     n = 0
     for ep in range(epochs):
         loader.set_epoch(ep + 1)
-        it = iter(loader)
+        it = iter(_dispatch_groups(loader, k_dispatch))
         while True:
             t0 = time.perf_counter()
             try:
-                payload, bvalid = next(it)
+                group = next(it)
             except StopIteration:
                 break
             wait += time.perf_counter() - t0
-            state, metrics = run_step(state, payload, bvalid, 100 + n)
-            n += BATCH
+            state, metrics = run_group(state, group, 100 + n)
+            n += BATCH * len(group)
     _ = float(metrics["loss"])  # drain the device pipeline
     total = time.perf_counter() - t_start
     img_per_sec = n / total

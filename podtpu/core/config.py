@@ -498,6 +498,14 @@ class TrainConfig:
     # (opt_state layout differs, so resumes of old checkpoints need the
     # unfused chain); parity-tested in tests/test_optim.py.
     fused_sgd: bool = False
+    # K train steps per dispatch on the single-device device-cache path
+    # (lax.scan inside one program — device_cache.make_cached_multi_step).
+    # Per-dispatch latency is the measured residue between synthetic and
+    # loader-included throughput (round 5: 40.7 vs 39.3 img/s at 0.1%
+    # loader wait on the tunneled chip); K amortises it.  Exactly K
+    # consecutive single steps mathematically (per-step lr/rng vectors).
+    # Log lines then appear once per dispatch.  1 disables.
+    steps_per_dispatch: int = 8
     weight_decay: float = 0.0005
     adam_lr: float = 0.001
     # Separate weight decay for normalisation parameters (GroupNorm

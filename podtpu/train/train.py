@@ -101,6 +101,21 @@ class ZeroMapMonitor:
         return False
 
 
+def _dispatch_groups(loader, k: int):
+    """Group a loader's ``(batch, bvalid)`` stream into FULL groups of
+    ``k`` (one multi-step dispatch each) plus single-item tail groups
+    (a padded step would not be a no-op: weight decay and momentum decay
+    apply even at zero loss weight)."""
+    buf = []
+    for item in loader:
+        buf.append(item)
+        if len(buf) == k:
+            yield buf
+            buf = []
+    for item in buf:
+        yield [item]
+
+
 def train(project: Project,
           labels: Optional[List[str]] = None,
           output_dir: Optional[str] = None,
@@ -532,6 +547,7 @@ def train(project: Project,
             print(f"Resumed from epoch {restored['epoch']}")
 
     dp_shard_batch = None
+    multi_step = None
     if use_dp:
         from podtpu.parallel.dp import (make_dp_eval_step, make_dp_per_shard,
                                         make_dp_train_step)
@@ -550,13 +566,23 @@ def train(project: Project,
             train_step, dp_shard_batch = make_dp_train_step(
                 model, tx, cfg, mesh)
     else:
-        train_step = make_train_step(model, tx, cfg)
+        base_step = make_train_step(model, tx, cfg)
+        train_step = base_step
         eval_step = make_eval_step(model)
         if use_device_cache or use_window_stream:
             # One dispatch per step: the gather from the device-resident
             # arrays (full cache or current stream window) happens inside
             # the jitted step.
-            train_step = dcache.make_cached_train_step(train_step)
+            train_step = dcache.make_cached_train_step(base_step)
+        if use_device_cache and cfg.train.steps_per_dispatch > 1:
+            # Full-size dispatch groups run K steps in ONE program
+            # (lax.scan) — per-dispatch RPC latency is the measured gap
+            # between synthetic and loader-included throughput (see
+            # make_cached_multi_step).  Tail groups fall back to the
+            # single step (a padded no-op step would still apply weight
+            # decay/momentum).
+            multi_step = dcache.make_cached_multi_step(
+                base_step, cfg.train.steps_per_dispatch)
 
     # -- epoch loop (reference training.py:120-127) --------------------------
     print("=" * 80)
@@ -582,45 +608,71 @@ def train(project: Project,
         iters = len(loader_train)
         step_rngs = jax.random.split(
             jax.random.fold_in(loop_rng, epoch), max(iters, 1))
+        k_dispatch = cfg.train.steps_per_dispatch if multi_step is not None \
+            else 1
+        n_dispatch = iters // k_dispatch + iters % k_dispatch
         loss_sum = None  # device-side running sum; fetched once per epoch
-        for it, (batch, bvalid) in enumerate(
-                logger.log_every(loader_train, cfg.train.log_every,
-                                 header=f"Epoch: [{epoch}]", total=iters)):
-            if trace_dir and epoch == start_epoch and it == min(3, iters - 1):
+        bi = 0  # global step index within the epoch (warmup/rng stream)
+        for it, group in enumerate(
+                logger.log_every(_dispatch_groups(loader_train, k_dispatch),
+                                 cfg.train.log_every,
+                                 header=f"Epoch: [{epoch}]",
+                                 total=n_dispatch)):
+            if trace_dir and epoch == start_epoch \
+                    and it == min(3, n_dispatch - 1):
                 jax.profiler.start_trace(trace_dir)
                 tracing = True
-            lr = sched.lr_for(epoch) * warmup_factor(cfg, epoch, it, iters)
-            if use_device_cache or use_window_stream:
-                # `batch` is the raw [B] index vector; the step gathers
-                # from the device-resident arrays (the pinned dataset, or
-                # the stream's current window buffer) internally.
-                arrays = device_arrays if use_device_cache \
-                    else loader_train.arrays
+            lrs = [sched.lr_for(epoch)
+                   * warmup_factor(cfg, epoch, bi + j, iters)
+                   for j in range(len(group))]
+            if len(group) > 1:
+                # Full group: K steps in one dispatch (exact same math as
+                # K single steps — per-step lr/rng ride in as vectors).
+                idx = np.stack([b.astype(np.int32) for b, _ in group])
+                w = np.stack([v.astype(np.float32) for _, v in group])
                 state, metrics = with_transient_retry(
-                    train_step, state, arrays, batch.astype(np.int32),
-                    bvalid.astype(np.float32), step_rngs[it],
-                    np.float32(lr))
+                    multi_step, state, device_arrays, idx, w,
+                    step_rngs[bi:bi + len(group)],
+                    np.asarray(lrs, np.float32))
+                group_loss = metrics["loss"].sum()
+                metrics = {k: v[-1] for k, v in metrics.items()}
             else:
-                batch = dict(batch)
-                batch["image_weight"] = bvalid.astype(np.float32)
-                if dp_shard_batch is not None:
-                    # Explicitly place the global batch sharded over the
-                    # mesh (rather than trusting compiler-chosen input
-                    # shardings for host numpy arrays).
-                    batch = dp_shard_batch(batch)
-                state, metrics = with_transient_retry(
-                    train_step, state, batch, step_rngs[it], np.float32(lr))
+                batch, bvalid = group[0]
+                if use_device_cache or use_window_stream:
+                    # `batch` is the raw [B] index vector; the step
+                    # gathers from the device-resident arrays (the pinned
+                    # dataset, or the stream's current window buffer)
+                    # internally.
+                    arrays = device_arrays if use_device_cache \
+                        else loader_train.arrays
+                    state, metrics = with_transient_retry(
+                        train_step, state, arrays, batch.astype(np.int32),
+                        bvalid.astype(np.float32), step_rngs[bi],
+                        np.float32(lrs[0]))
+                else:
+                    batch = dict(batch)
+                    batch["image_weight"] = bvalid.astype(np.float32)
+                    if dp_shard_batch is not None:
+                        # Explicitly place the global batch sharded over
+                        # the mesh (rather than trusting compiler-chosen
+                        # input shardings for host numpy arrays).
+                        batch = dp_shard_batch(batch)
+                    state, metrics = with_transient_retry(
+                        train_step, state, batch, step_rngs[bi],
+                        np.float32(lrs[0]))
+                group_loss = metrics["loss"]
+            bi += len(group)
             # Accumulate the loss on device (tiny async adds): ALRS sees the
             # TRUE epoch mean over every step, and the epoch costs a single
             # host sync instead of one per log_every (reference averages
             # every step, engine/utils.py SmoothedValue).
-            loss_sum = metrics["loss"] if loss_sum is None \
-                else loss_sum + metrics["loss"]
-            if tracing and it >= min(3, iters - 1) + 3:
+            loss_sum = group_loss if loss_sum is None \
+                else loss_sum + group_loss
+            if tracing and it >= min(3, n_dispatch - 1) + 3:
                 jax.profiler.stop_trace()
                 tracing = False
                 print(f"[podtpu] profiler trace written to {trace_dir}")
-            if it % cfg.train.log_every == 0 or it == iters - 1:
+            if it % cfg.train.log_every == 0 or it == n_dispatch - 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 if cfg.train.nan_is_fatal and not np.isfinite(host["loss"]):
                     print(f"Loss is {host['loss']}, stopping training")

@@ -554,3 +554,105 @@ class TestWindowedEdgeCases:
             sharding=NamedSharding(mesh, P("data")),
             indices=np.array([], np.int64))
         assert len(wl) == 0 and list(wl) == []
+
+
+class TestCachedMultiStep:
+    """K steps per dispatch (make_cached_multi_step) must reproduce K
+    consecutive single cached steps exactly — same rng/lr streams, same
+    trajectory (the round-5 dispatch-amortisation lever)."""
+
+    def test_trajectory_matches_single_steps(self):
+        import jax
+        import jax.numpy as jnp
+
+        from podtpu.data.device_cache import (make_cached_multi_step,
+                                              make_cached_train_step)
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.train.optim import make_optimizer
+        from podtpu.train.step import create_train_state, make_train_step
+        from tests.test_parallel import make_batch, micro_cfg
+
+        cfg = micro_cfg()
+        model = FasterRCNN(cfg=cfg.model)
+        init_vars = model.init(jax.random.key(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = make_optimizer(cfg.train, cfg.model)
+        base = make_train_step(model, tx, cfg)
+        single = make_cached_train_step(base)
+        multi = make_cached_multi_step(base, 3)
+
+        # A 12-sample "pinned dataset" on the default device.
+        data = make_batch(batch=12, seed=3)
+        arrays = {k: jnp.asarray(v) for k, v in data.items()}
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 12, (6, 4)).astype(np.int32)
+        w = np.ones((6, 4), np.float32)
+        rngs = jax.random.split(jax.random.key(7), 6)
+        lrs = np.asarray([0.01, 0.008, 0.006, 0.005, 0.004, 0.003],
+                         np.float32)
+
+        def fresh():
+            return create_train_state(
+                jax.tree.map(jnp.array, init_vars), tx)
+
+        # Reference: 6 single dispatches.
+        s1 = fresh()
+        losses1 = []
+        for i in range(6):
+            s1, m = single(s1, arrays, idx[i], w[i], rngs[i], lrs[i])
+            losses1.append(float(m["loss"]))
+
+        # 2 multi dispatches of 3.
+        s2 = fresh()
+        losses2 = []
+        for lo in (0, 3):
+            s2, m = multi(s2, arrays, idx[lo:lo + 3], w[lo:lo + 3],
+                          rngs[lo:lo + 3], lrs[lo:lo + 3])
+            losses2.extend(np.asarray(m["loss"]).tolist())
+
+        # The FIRST dispatch is numerically identical (same inputs, same
+        # math); subsequent steps see parameters whose update fused in a
+        # different order inside the scan program than in the single-step
+        # program, so the trajectory carries f32 reduction-order noise
+        # (measured ~1e-4 relative by step 6) — the same tolerance class
+        # as the DP-vs-single-process comparison in test_multiprocess.
+        np.testing.assert_allclose(losses1[:3], losses2[:3],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(losses1, losses2, rtol=1e-3)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5),
+            s1.params, s2.params)
+
+
+class TestTrainMultiDispatch:
+    def test_train_e2e_grouped(self, tmp_path):
+        """The product train() loop with the default steps_per_dispatch=8:
+        16 train images at batch 2 = exactly one 8-step dispatch per
+        epoch through make_cached_multi_step; artifacts intact."""
+        import os
+
+        from podtpu.train.train import train
+        from tests.conftest import tiny_config
+        from tests.synthetic import make_project as mk
+
+        project = mk(str(tmp_path / "imgs"), num_images=20)
+        out = train(project, labels=["particle"],
+                    output_dir=str(tmp_path / "models"), name="grouped",
+                    batch_size=2, max_epochs=2, alrs_epochs=2,
+                    alrs_startup_factor=1, config=tiny_config(),
+                    num_workers=2)
+        assert os.path.exists(os.path.join(out, "results.txt"))
+
+    def test_tail_steps_stay_single(self):
+        """_dispatch_groups: full groups of k plus SINGLE tails (padded
+        steps would still apply weight decay/momentum)."""
+        from podtpu.train.train import _dispatch_groups
+
+        items = [(i, i) for i in range(11)]
+        groups = list(_dispatch_groups(iter(items), 4))
+        assert [len(g) for g in groups] == [4, 4, 1, 1, 1]
+        assert [x for g in groups for x in g] == items
+        # k=1: everything single (disabled).
+        groups = list(_dispatch_groups(iter(items), 1))
+        assert [len(g) for g in groups] == [1] * 11
