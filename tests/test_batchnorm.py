@@ -139,3 +139,41 @@ class TestFromScratchBatchNormTraining:
             params, frozen,
             jnp.zeros((1,) + tuple(model_cfg.image_size) + (3,)))
         assert np.asarray(det.scores).shape[0] == 1
+
+
+class TestSSDLiteBatchNormMode:
+    def test_ssdlite_builds_and_steps_in_batch_mode(self):
+        """The SSDLite trunk threads backbone_norm (ssd.py) — one train
+        step in batch mode produces finite losses and updated stats."""
+        import dataclasses
+
+        import jax
+        from podtpu.core.config import (Config, DataConfig, TrainConfig,
+                                        ssdlite_config)
+        from podtpu.models.detector import make_detector, init_variables
+        from podtpu.train.optim import make_optimizer
+        from podtpu.train.step import create_train_state, make_train_step
+
+        model_cfg = ssdlite_config(image_size=(96, 96))
+        model_cfg = dataclasses.replace(
+            model_cfg, num_classes=2, max_gt_boxes=4,
+            detections_per_image=4, compute_dtype="float32",
+            backbone_norm="batch")
+        cfg = Config(model=model_cfg, train=TrainConfig(),
+                     data=DataConfig(photometric_distort=False))
+        model = make_detector(model_cfg)
+        variables = init_variables(model, jax.random.key(0))
+        assert "weight" in variables["params"]["backbone"]["bn_stem"]
+        assert set(variables["frozen"]["backbone"]["bn_stem"]) == {
+            "mean", "var"}
+        tx = make_optimizer(cfg.train, cfg.model)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, tx, cfg)
+        from tests.test_parallel import make_batch
+        batch = make_batch(batch=2, size=96, g=4)
+        batch["image_weight"] = np.ones((2,), np.float32)
+        state, metrics = step(state, batch, jax.random.key(1),
+                              jnp.float32(0.01))
+        assert np.isfinite(float(metrics["loss"]))
+        stem = state.frozen["backbone"]["bn_stem"]
+        assert float(np.abs(np.asarray(stem["mean"])).sum()) > 0
