@@ -157,11 +157,9 @@ def bench_e2e():
     tx = make_optimizer(cfg.train, cfg.model)
     state = create_train_state(variables, tx)
     step = make_train_step(model, tx, cfg)
-    if use_device_cache:
-        cached_step = dcache.make_cached_train_step(step)
-
-    if windowed:
-        cached_step = dcache.make_cached_train_step(step)
+    if use_device_cache or windowed:
+        cached_step = dcache.make_cached_train_step(
+            step, gather=cfg.train.cache_gather)
 
     # K-steps-per-dispatch (the product train() gate: device-cache mode
     # only) — per-dispatch RPC latency is the measured residue between
@@ -169,7 +167,8 @@ def bench_e2e():
     multi = None
     if use_device_cache and cfg.train.steps_per_dispatch > 1:
         multi = dcache.make_cached_multi_step(
-            step, cfg.train.steps_per_dispatch)
+            step, cfg.train.steps_per_dispatch,
+            gather=cfg.train.cache_gather)
 
     def run_step(state, payload, bvalid, it):
         if use_device_cache:

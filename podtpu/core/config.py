@@ -506,6 +506,13 @@ class TrainConfig:
     # consecutive single steps mathematically (per-step lr/rng vectors).
     # Log lines then appear once per dispatch.  1 disables.
     steps_per_dispatch: int = 8
+    # How the device-cache step assembles the batch from the HBM-resident
+    # dataset: "take" = one gather HLO per field (v[idx]); "slice" =
+    # unroll the batch into B dynamic slices per field (contiguous row
+    # copies — a lever for backends where the small-count gather of
+    # multi-MB rows lowers poorly).  Exact same math either way
+    # (parity-tested in tests/test_device_cache.py).
+    cache_gather: str = "take"
     weight_decay: float = 0.0005
     adam_lr: float = 0.001
     # Separate weight decay for normalisation parameters (GroupNorm

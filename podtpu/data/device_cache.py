@@ -112,7 +112,30 @@ class DeviceDataCache:
         return {k: v[idx_dev] for k, v in self.arrays.items()}
 
 
-def make_cached_train_step(train_step):
+def gather_rows(arrays, idx, mode: str = "take"):
+    """Assemble a batch: row-gather every cache field by the [B] index
+    vector.  ``take`` emits one gather HLO per field (``v[idx]``);
+    ``slice`` unrolls the batch into B dynamic slices per field —
+    contiguous row copies, a lever for backends where a small-count
+    gather of multi-MB rows lowers poorly.  Exact same result either way
+    (parity-tested in tests/test_device_cache.py)."""
+    if mode == "take":
+        return {k: v[idx] for k, v in arrays.items()}
+    if mode != "slice":
+        raise ValueError(f"cache_gather must be 'take'|'slice', got {mode!r}")
+    import jax
+    import jax.numpy as jnp
+
+    b = idx.shape[0]
+    return {
+        k: jnp.stack([
+            jax.lax.dynamic_index_in_dim(v, idx[i], 0, keepdims=False)
+            for i in range(b)
+        ]) for k, v in arrays.items()
+    }
+
+
+def make_cached_train_step(train_step, gather: str = "take"):
     """Fold the batch gather INTO the jitted step: one dispatch per step
     (index vector + scalars are the only host->device traffic).  ``arrays``
     is passed as an argument, NOT closed over — closure arrays would be
@@ -121,14 +144,14 @@ def make_cached_train_step(train_step):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, arrays, idx, image_weight, rng, lr):
-        batch = {k: v[idx] for k, v in arrays.items()}
+        batch = gather_rows(arrays, idx, gather)
         batch["image_weight"] = image_weight
         return train_step(state, batch, rng, lr)
 
     return step
 
 
-def make_cached_multi_step(train_step, k: int):
+def make_cached_multi_step(train_step, k: int, gather: str = "take"):
     """K cached-gather train steps in ONE dispatch (``lax.scan``).
 
     With the dataset device-resident, per-step host work is just the
@@ -152,7 +175,7 @@ def make_cached_multi_step(train_step, k: int):
     def multi(state, arrays, idx, image_weight, rngs, lrs):
         def body(state, per):
             step_idx, step_w, step_rng, step_lr = per
-            batch = {f: v[step_idx] for f, v in arrays.items()}
+            batch = gather_rows(arrays, step_idx, gather)
             batch["image_weight"] = step_w
             return train_step(state, batch, step_rng, step_lr)
 

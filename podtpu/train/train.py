@@ -573,7 +573,8 @@ def train(project: Project,
             # One dispatch per step: the gather from the device-resident
             # arrays (full cache or current stream window) happens inside
             # the jitted step.
-            train_step = dcache.make_cached_train_step(base_step)
+            train_step = dcache.make_cached_train_step(
+                base_step, gather=cfg.train.cache_gather)
         if use_device_cache and cfg.train.steps_per_dispatch > 1:
             # Full-size dispatch groups run K steps in ONE program
             # (lax.scan) — per-dispatch RPC latency is the measured gap
@@ -582,7 +583,8 @@ def train(project: Project,
             # single step (a padded no-op step would still apply weight
             # decay/momentum).
             multi_step = dcache.make_cached_multi_step(
-                base_step, cfg.train.steps_per_dispatch)
+                base_step, cfg.train.steps_per_dispatch,
+                gather=cfg.train.cache_gather)
 
     # -- epoch loop (reference training.py:120-127) --------------------------
     print("=" * 80)

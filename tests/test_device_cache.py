@@ -556,6 +556,78 @@ class TestWindowedEdgeCases:
         assert len(wl) == 0 and list(wl) == []
 
 
+class TestGatherModes:
+    """cache_gather='slice' (B unrolled dynamic slices) must reproduce
+    the 'take' gather exactly — it is a pure lowering lever."""
+
+    def test_slice_matches_take(self):
+        import jax
+        import jax.numpy as jnp
+
+        from podtpu.data.device_cache import gather_rows
+
+        rng = np.random.default_rng(0)
+        arrays = {
+            "image": jnp.asarray(
+                rng.integers(0, 255, (10, 8, 8, 3), np.uint8)),
+            "boxes": jnp.asarray(rng.uniform(0, 8, (10, 5, 4)), jnp.float32),
+            "labels": jnp.asarray(rng.integers(0, 3, (10, 5)), jnp.int32),
+            "index": jnp.arange(10, dtype=jnp.int32),
+        }
+        idx = jnp.asarray([3, 0, 7, 3], jnp.int32)  # repeats allowed
+        take = gather_rows(arrays, idx, "take")
+        sl = jax.jit(lambda a, i: gather_rows(a, i, "slice"))(arrays, idx)
+        for k in arrays:
+            np.testing.assert_array_equal(np.asarray(take[k]),
+                                          np.asarray(sl[k]))
+
+    def test_bad_mode_raises(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from podtpu.data.device_cache import gather_rows
+
+        with pytest.raises(ValueError):
+            gather_rows({"a": jnp.zeros((2, 2))},
+                        jnp.zeros((1,), jnp.int32), "nope")
+
+    def test_cached_step_parity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from podtpu.data.device_cache import make_cached_train_step
+        from podtpu.models.detector import FasterRCNN
+        from podtpu.train.optim import make_optimizer
+        from podtpu.train.step import create_train_state, make_train_step
+        from tests.test_parallel import make_batch, micro_cfg
+
+        cfg = micro_cfg()
+        model = FasterRCNN(cfg=cfg.model)
+        init_vars = model.init(jax.random.key(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        tx = make_optimizer(cfg.train, cfg.model)
+        base = make_train_step(model, tx, cfg)
+        data = make_batch(batch=8, seed=3)
+        arrays = {k: jnp.asarray(v) for k, v in data.items()}
+        idx = np.asarray([5, 1, 2, 7], np.int32)
+        w = np.ones((4,), np.float32)
+        key, lr = jax.random.key(7), np.float32(0.01)
+        out = {}
+        for mode in ("take", "slice"):
+            state = create_train_state(
+                jax.tree.map(jnp.array, init_vars), tx)
+            step = make_cached_train_step(base, gather=mode)
+            state, m = step(state, arrays, idx, w, key, lr)
+            out[mode] = (float(m["loss"]), state.params)
+        # Identical gathered batch + identical step program math.
+        np.testing.assert_allclose(out["take"][0], out["slice"][0],
+                                   rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            out["take"][1], out["slice"][1])
+
+
 class TestCachedMultiStep:
     """K steps per dispatch (make_cached_multi_step) must reproduce K
     consecutive single cached steps exactly — same rng/lr streams, same
