@@ -208,8 +208,15 @@ def bench_e2e():
         state, metrics = run_group(state, group, it)
     _ = float(metrics["loss"])
 
-    # Timed epochs: wall time + loader-wait split.
-    epochs = 2
+    # Timed epochs: wall time + loader-wait split.  The window must be
+    # long enough to amortise the FIXED tunnel costs it includes (the
+    # pipeline-fill RPC of the first dispatch and the final metrics
+    # drain, ~30 ms RTT each): at the default 64 images a 2-epoch window
+    # is ~3.2 s of device work, so those ~100 ms inflated the per-step
+    # cost ~3% (round-5 j75: 39.6 wall vs 41.3 slope on the same
+    # program).  4 epochs keeps the same metric definition (sustained
+    # loader-included throughput) with half the fixed-cost share.
+    epochs = int(os.environ.get("BENCH_E2E_EPOCHS", "4"))
     t_start = time.perf_counter()
     wait = 0.0
     n = 0

@@ -509,10 +509,14 @@ class TrainConfig:
     # How the device-cache step assembles the batch from the HBM-resident
     # dataset: "take" = one gather HLO per field (v[idx]); "slice" =
     # unroll the batch into B dynamic slices per field (contiguous row
-    # copies — a lever for backends where the small-count gather of
-    # multi-MB rows lowers poorly).  Exact same math either way
-    # (parity-tested in tests/test_device_cache.py).
-    cache_gather: str = "take"
+    # copies).  Exact same math either way (parity-tested in
+    # tests/test_device_cache.py).  Default "slice": the round-5 A/B on
+    # the real chip measured the gather HLO of 4x3.15 MB uint8 rows at
+    # +2.6 ms/step vs the unrolled slices (docs/runs/r05/
+    # j70_gather_mode.log — 99.53 vs 96.90 ms).  The DP cached step
+    # keeps the gather HLO (its index vector is sharded; unrolling over
+    # the global batch would break the GSPMD partition).
+    cache_gather: str = "slice"
     weight_decay: float = 0.0005
     adam_lr: float = 0.001
     # Separate weight decay for normalisation parameters (GroupNorm
