@@ -43,6 +43,7 @@ def main():
 
     enable_compilation_cache()
     BATCH, CANVAS, N, K = 4, 1024, 64, 8
+    bench_data = "--bench-data" in sys.argv
     EPOCHS = 4                      # same timed window as the e2e bench
     steps_per_epoch = N // BATCH    # 16 -> 2 dispatches/epoch at K=8
     rng = np.random.default_rng(0)
@@ -59,7 +60,25 @@ def main():
     xy = rng.uniform(0, CANVAS * 0.7, (N, g, 2)).astype(np.float32)
     wh = rng.uniform(16, CANVAS * 0.2, (N, g, 2)).astype(np.float32)
     dev = jax.devices()[0]
-    arrays = {
+    if bench_data:
+        # --bench-data: the EXACT dataset+cache the e2e bench trains on
+        # (structured shapes, not noise) — isolates workload data
+        # dependence (NMS fixpoint depth etc.) from loop structure.
+        import tempfile
+
+        from podtpu.data.dataset import DetectionDataset
+        from tests.synthetic import make_project
+
+        root = tempfile.mkdtemp(prefix="podtpu_probe_")
+        project = make_project(root, num_images=N,
+                               image_size=(CANVAS, CANVAS), max_boxes=8)
+        dataset = DetectionDataset(project, image_size=model_cfg.image_size,
+                                   max_gt=model_cfg.max_gt_boxes)
+        cache = dcache.DeviceDataCache(dataset, device=dev)
+        arrays = cache.arrays
+    else:
+        arrays = None
+    arrays = arrays if arrays is not None else {
         "image": jax.device_put(
             rng.integers(0, 255, (N, CANVAS, CANVAS, 3), np.uint8), dev),
         "boxes": jax.device_put(np.concatenate([xy, xy + wh], -1), dev),
@@ -120,6 +139,11 @@ def main():
     _ = float(m["loss"][-1])
     report("P0_multi_device_args", EPOCHS * steps_per_epoch * BATCH,
            time.perf_counter() - t0)
+
+    if bench_data:
+        print(json.dumps({"probe": "summary", "data": "bench_project",
+                          **results}), flush=True)
+        return
 
     # ---- P1: K=8, fresh numpy args + split per dispatch + metrics[-1] ----
     state = fresh_state()
